@@ -1,0 +1,287 @@
+"""The full MRSSM world model: encoder + scan core + decoders + reward head.
+
+Replaces the reference's four algo classes (RSSM / MRSSM_NN / MRSSM_PoE /
+MRSSM_MoPoE, algos/MRSSM/*/algo.py) with ONE flax module parameterised by
+static config — the fusion strategies are pure functions, so no class
+hierarchy is needed (see ops/fusion.py).  ``from_config`` mirrors the
+reference's ``build_RSSM`` dispatch (algos/MRSSM/MRSSM/algo.py:6-18).
+
+State-estimation contract matches ``MRSSM_base.estimate_state``
+(algos/MRSSM/base/algo.py:337-366): zero initial belief/state, encoder over
+the folded (T·B) batch, posterior rollout, 9-entry state dict (beliefs,
+prior/posterior states+means+stds, expert means/stds).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodal_rssm_tpu.models.decoders import MultimodalObservationModel
+from multimodal_rssm_tpu.models.encoders import (
+    MultimodalEncoder,
+    MultimodalStochasticEncoder,
+    modality_embedding_size,
+)
+from multimodal_rssm_tpu.models.heads import RewardModel
+from multimodal_rssm_tpu.rssm.core import RSSMCore, expert_dict
+
+Dtype = Any
+
+
+def bottle(fn, tree, T: int, B: int):
+    """Fold the leading (T, B) dims of every leaf, apply, unfold.
+
+    The TPU-native replacement for the reference's ``bottle_tupele*``
+    (utils/models/encoder.py:13-48): one big (T·B) batch keeps the MXU fed.
+    """
+    folded = jax.tree_util.tree_map(lambda x: x.reshape(T * B, *x.shape[2:]), tree)
+    out = fn(folded)
+    return jax.tree_util.tree_map(lambda y: y.reshape(T, B, *y.shape[1:]), out)
+
+
+class WorldModel(nn.Module):
+    """Encoder + RSSM core + observation decoders + reward model."""
+
+    # architecture (mirrors cfg.rssm / cfg.env keys)
+    observation_names_enc: Tuple[str, ...]
+    observation_names_rec: Tuple[str, ...]
+    observation_shapes: Mapping[str, Tuple[int, ...]]
+    embedding_size: Mapping[str, int]
+    activation_function: Mapping[str, str]
+    belief_size: int
+    state_size: int
+    hidden_size: int
+    action_size: int
+    normalization: Optional[str] = "BatchNorm"
+    multimodal: bool = True
+    fusion_method: str = "MoPoE"
+    expert_dist: str = "q(st|ht,ot)"
+    min_std_dev: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        embedding_sizes = {
+            name: modality_embedding_size(name, self.embedding_size)
+            for name in self.observation_names_enc
+        }
+        if self.multimodal:
+            if self.expert_dist == "q(st|ht,ot)":
+                self.encoder = MultimodalEncoder(
+                    observation_names_enc=self.observation_names_enc,
+                    observation_shapes=self.observation_shapes,
+                    embedding_size=self.embedding_size,
+                    activation_function=self.activation_function,
+                    normalization=self.normalization,
+                    dtype=self.dtype,
+                )
+            else:  # q(st|ot): encoder emits (loc, scale) experts directly
+                self.encoder = MultimodalStochasticEncoder(
+                    observation_names_enc=self.observation_names_enc,
+                    observation_shapes=self.observation_shapes,
+                    embedding_size=self.embedding_size,
+                    state_size=self.state_size,
+                    hidden_size=self.hidden_size,
+                    activation_function=self.activation_function,
+                    normalization=self.normalization,
+                    min_std_dev=self.min_std_dev,
+                    dtype=self.dtype,
+                )
+        else:
+            # Unimodal RSSM encodes only the first modality
+            # (ref algos/MRSSM/RSSM/algo.py:33-38, base/algo.py:18).
+            self.encoder = MultimodalEncoder(
+                observation_names_enc=(self.observation_names_enc[0],),
+                observation_shapes=self.observation_shapes,
+                embedding_size=self.embedding_size,
+                activation_function=self.activation_function,
+                normalization=self.normalization,
+                dtype=self.dtype,
+            )
+
+        self.core = RSSMCore(
+            belief_size=self.belief_size,
+            state_size=self.state_size,
+            action_size=self.action_size,
+            hidden_size=self.hidden_size,
+            embedding_sizes=embedding_sizes,
+            observation_names_enc=tuple(self.observation_names_enc),
+            multimodal=self.multimodal,
+            fusion_method=self.fusion_method,
+            expert_dist=self.expert_dist,
+            activation_function=self.activation_function["dense"],
+            min_std_dev=self.min_std_dev,
+            dtype=self.dtype,
+        )
+
+        rec_names = (
+            tuple(self.observation_names_rec)
+            if self.multimodal
+            else (self.observation_names_rec[0],)
+        )
+        self.observation_model = MultimodalObservationModel(
+            observation_names_rec=rec_names,
+            observation_shapes=self.observation_shapes,
+            embedding_size=self.embedding_size,
+            belief_size=self.belief_size,
+            state_size=self.state_size,
+            hidden_size=self.hidden_size,
+            activation_function=self.activation_function,
+            normalization=self.normalization,
+            dtype=self.dtype,
+        )
+        self.reward_model = RewardModel(
+            hidden_size=self.hidden_size,
+            activation_function=self.activation_function["dense"],
+            dtype=self.dtype,
+        )
+
+    # -- encoding ---------------------------------------------------------
+    def encode(self, observations: Mapping[str, jnp.ndarray], train: bool = True):
+        """Encoder over folded (T·B); returns dict of [T, B, E] embeddings
+        (or {loc, scale} experts for q(st|ot))."""
+        T, B = next(iter(observations.values())).shape[:2]
+        if not self.multimodal:
+            emb = bottle(lambda o: self.encoder(o, train=train), dict(observations), T, B)
+            return emb[self.observation_names_enc[0]]
+        return bottle(lambda o: self.encoder(o, train=train), dict(observations), T, B)
+
+    # -- inference --------------------------------------------------------
+    def estimate_state(
+        self,
+        observations: Mapping[str, jnp.ndarray],
+        actions: jnp.ndarray,
+        nonterminals: Optional[jnp.ndarray],
+        key: Optional[jax.Array] = None,
+        det: bool = False,
+        train: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        """Posterior state estimation over a chunk (ref base/algo.py:337-366).
+
+        observations: dict of [T-1, B, ...] targets (already clipped from
+        t=1); actions/nonterminals: [T-1, B, ·].
+        """
+        T, B = actions.shape[:2]
+        init_h = jnp.zeros((B, self.belief_size), jnp.float32)
+        init_s = jnp.zeros((B, self.state_size), jnp.float32)
+        obs_emb = self.encode(observations, train=train)
+
+        if det or key is None:
+            eps_prior = jnp.zeros((T, B, self.state_size), jnp.float32)
+            eps_post = eps_prior
+        else:
+            k1, k2 = jax.random.split(key)
+            eps_prior = jax.random.normal(k1, (T, B, self.state_size), jnp.float32)
+            eps_post = jax.random.normal(k2, (T, B, self.state_size), jnp.float32)
+
+        states = self.core(
+            init_h, init_s, actions, nonterminals, obs_emb, eps_prior, eps_post
+        )
+        if self.multimodal:
+            states = dict(states)
+            states["expert_means_stacked"] = states["expert_means"]
+            states["expert_std_devs_stacked"] = states["expert_std_devs"]
+            states["expert_means"] = expert_dict(
+                states["expert_means_stacked"], tuple(self.observation_names_enc)
+            )
+            states["expert_std_devs"] = expert_dict(
+                states["expert_std_devs_stacked"], tuple(self.observation_names_enc)
+            )
+        return states
+
+    def rollout_prior(
+        self,
+        init_belief: jnp.ndarray,
+        init_state: jnp.ndarray,
+        actions: jnp.ndarray,
+        nonterminals: Optional[jnp.ndarray] = None,
+        key: Optional[jax.Array] = None,
+        det: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        """Open-loop prior rollout (imagination / overshooting; ref
+        transition model with obs=None)."""
+        T, B = actions.shape[:2]
+        if det or key is None:
+            eps = jnp.zeros((T, B, self.state_size), jnp.float32)
+        else:
+            eps = jax.random.normal(key, (T, B, self.state_size), jnp.float32)
+        return self.core.prior_rollout(init_belief, init_state, actions, nonterminals, eps)
+
+    # -- decoding ---------------------------------------------------------
+    def decode(self, beliefs, states, train: bool = True):
+        """Per-modality reconstructions {name: {loc, scale}}."""
+        return self.observation_model(beliefs, states, train=train)
+
+    def observation_mse(self, beliefs, states, targets, train: bool = True):
+        return self.observation_model.get_mse(beliefs, states, targets, train=train)
+
+    def observation_log_prob(self, beliefs, states, targets, train: bool = True):
+        return self.observation_model.get_log_prob(beliefs, states, targets, train=train)
+
+    def reward(self, beliefs, states):
+        return self.reward_model(beliefs, states)
+
+    def train_forward(
+        self,
+        observations_target: Mapping[str, jnp.ndarray],
+        actions: jnp.ndarray,
+        nonterminals: Optional[jnp.ndarray],
+        key: Optional[jax.Array],
+        use_log_prob: bool = False,
+        train: bool = True,
+    ):
+        """One forward pass producing everything the ELBO needs in a single
+        ``apply`` (so batch-norm stats mutate once): states, per-element
+        reconstruction losses, reward prediction."""
+        states = self.estimate_state(
+            observations_target, actions, nonterminals, key, train=train
+        )
+        h, s = states["beliefs"], states["posterior_states"]
+        if use_log_prob:
+            per_elem = self.observation_log_prob(h, s, observations_target, train=train)
+        else:
+            per_elem = self.observation_mse(h, s, observations_target, train=train)
+        rew = self.reward(h, s)
+        return states, per_elem, rew
+
+    # init target: touch every submodule so all params exist
+    def __call__(self, observations, actions, nonterminals, key=None, train=True):
+        states = self.estimate_state(observations, actions, nonterminals, key, train=train)
+        recon = self.decode(states["beliefs"], states["posterior_states"], train=train)
+        rew = self.reward(states["beliefs"], states["posterior_states"])
+        return states, recon, rew
+
+    # -- factory ----------------------------------------------------------
+    @staticmethod
+    def from_config(cfg, dtype=jnp.float32) -> "WorldModel":
+        """Build from a composed config (mirrors reference ``build_RSSM``,
+        algos/MRSSM/MRSSM/algo.py:6-18 — fusion_method/multimodal dispatch
+        becomes static module config)."""
+        rssm = cfg.rssm
+        multimodal = bool(rssm.multimodal)
+        fusion_method = (
+            rssm.multimodal_params.fusion_method if multimodal else "PoE"
+        )
+        expert_dist = (
+            rssm.multimodal_params.expert_dist if multimodal else "q(st|ht,ot)"
+        )
+        shapes = {k: tuple(v) for k, v in cfg.env.observation_shapes.items()}
+        return WorldModel(
+            observation_names_enc=tuple(rssm.observation_names_enc),
+            observation_names_rec=tuple(rssm.observation_names_rec),
+            observation_shapes=shapes,
+            embedding_size=dict(rssm.embedding_size),
+            activation_function=dict(rssm.activation_function),
+            belief_size=int(rssm.belief_size),
+            state_size=int(rssm.state_size),
+            hidden_size=int(rssm.hidden_size),
+            action_size=int(cfg.env.action_size),
+            normalization=rssm.normalization,
+            multimodal=multimodal,
+            fusion_method=fusion_method,
+            expert_dist=expert_dist,
+            dtype=dtype,
+        )

@@ -1,0 +1,82 @@
+"""Test configuration.
+
+- Forces the CPU backend with 8 virtual devices so multi-chip mesh/sharding
+  tests run without TPU hardware (SURVEY §4e).
+- Pins full matmul precision: the CPU backend's default matmul/conv
+  precision is reduced, which would mask real numerical differences in the
+  PyTorch-parity tests.
+- Persistent compilation cache: this container has a single CPU core and
+  XLA compiles are expensive; the cache makes re-runs cheap.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import jax  # noqa: E402
+
+# The container's sitecustomize force-registers the axon TPU plugin even when
+# JAX_PLATFORMS=cpu is in the env; the config update below wins.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+TINY_OVERRIDES = [
+    "rssm.belief_size=64",
+    "rssm.state_size=16",
+    "rssm.hidden_size=64",
+    "rssm.embedding_size.image=64",
+    "rssm.embedding_size.sound=32",
+    "rssm.embedding_size.fusion=64",
+    "rssm.embedding_size.other=16",
+    "train.batch_size=4",
+    "train.chunk_size=8",
+    "train.experience_size=512",
+    "train.use_amp=False",
+]
+
+
+@pytest.fixture(scope="session")
+def tiny_cfg():
+    from multimodal_rssm_tpu.core.config import compose
+
+    cfg_dir = os.path.join(os.path.dirname(__file__), "..", "configs")
+    return compose(cfg_dir, overrides=TINY_OVERRIDES)
+
+
+@pytest.fixture(scope="session")
+def tiny_dataset_dir(tmp_path_factory, tiny_cfg):
+    from multimodal_rssm_tpu.data.synthetic import write_synthetic_dataset
+
+    out = tmp_path_factory.mktemp("episodes")
+    shapes = {
+        "image_horizon": tiny_cfg.env.observation_shapes["image_horizon"],
+        "sound": tiny_cfg.env.observation_shapes["sound"],
+    }
+    write_synthetic_dataset(str(out), 3, 40, shapes)
+    return str(out)
+
+
+@pytest.fixture(scope="session")
+def tiny_buffer(tiny_cfg, tiny_dataset_dir):
+    from multimodal_rssm_tpu.data.buffer import build_buffer
+
+    D = build_buffer(tiny_cfg)
+    D.load_dataset(tiny_dataset_dir)
+    return D

@@ -1,0 +1,186 @@
+"""Tests for Gaussian primitives, bit-depth normalisation, the crop spiral,
+and the config system."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_rssm_tpu.data.augment import get_dx, get_dy, idx_to_offsets
+from multimodal_rssm_tpu.ops import gaussian
+from multimodal_rssm_tpu.ops.image import (
+    normalize_image,
+    normalize_image_deterministic,
+    reverse_normalized_image,
+)
+
+
+# -- gaussian -------------------------------------------------------------
+
+
+def test_log_prob_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    mean = rng.normal(size=(5, 7)).astype(np.float32)
+    std = rng.uniform(0.1, 2.0, size=(5, 7)).astype(np.float32)
+    x = rng.normal(size=(5, 7)).astype(np.float32)
+    ref = torch.distributions.Normal(
+        torch.tensor(mean), torch.tensor(std)
+    ).log_prob(torch.tensor(x)).numpy()
+    got = np.asarray(gaussian.log_prob(jnp.asarray(mean), jnp.asarray(std), jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_kl_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    mq = rng.normal(size=(4, 6)).astype(np.float32)
+    sq = rng.uniform(0.1, 2.0, size=(4, 6)).astype(np.float32)
+    mp = rng.normal(size=(4, 6)).astype(np.float32)
+    sp = rng.uniform(0.1, 2.0, size=(4, 6)).astype(np.float32)
+    ref = torch.distributions.kl.kl_divergence(
+        torch.distributions.Normal(torch.tensor(mq), torch.tensor(sq)),
+        torch.distributions.Normal(torch.tensor(mp), torch.tensor(sp)),
+    ).numpy()
+    got = np.asarray(gaussian.kl_normal(*(jnp.asarray(a) for a in (mq, sq, mp, sp))))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_rsample():
+    out = gaussian.rsample(jnp.ones(3), jnp.full(3, 2.0), jnp.full(3, 0.5))
+    np.testing.assert_allclose(np.asarray(out), 2.0)
+
+
+# -- bit-depth normalise --------------------------------------------------
+
+
+def test_normalize_image_range_and_quantisation():
+    img = jnp.asarray(np.arange(256, dtype=np.float32).reshape(16, 16))
+    out = np.asarray(normalize_image(img, 5, jax.random.PRNGKey(0)))
+    assert out.min() >= -0.5
+    assert out.max() <= 0.5 + 1 / 32  # dequant noise < 1/2^5
+    det = np.asarray(normalize_image_deterministic(img, 5))
+    # 5-bit quantisation: exactly 32 distinct levels
+    assert len(np.unique(det)) == 32
+
+
+def test_normalize_reverse_roundtrip():
+    """reverse(normalize(x)) reproduces the 5-bit-quantised pixels
+    (image_processing.py round-trip)."""
+    img = np.arange(256, dtype=np.float32).reshape(16, 16)
+    det = np.asarray(normalize_image_deterministic(jnp.asarray(img), 5))
+    back = reverse_normalized_image(det, 5)
+    # quantisation floor: back == floor(img/8)*8
+    np.testing.assert_array_equal(back, (np.floor(img / 8) * 8).astype(np.uint8))
+
+
+def test_normalize_matches_torch_reference():
+    torch = pytest.importorskip("torch")
+    img = np.arange(0, 256, dtype=np.float32).reshape(16, 16)
+    t = torch.tensor(img.copy())
+    bit_depth = torch.tensor(5)
+    # reference normalize_image without the noise term (image_processing.py:8)
+    t.div_(2 ** (8 - 5)).floor_().div_(2 ** 5).sub_(0.5)
+    got = np.asarray(normalize_image_deterministic(jnp.asarray(img), 5))
+    np.testing.assert_allclose(got, t.numpy(), atol=1e-7)
+
+
+# -- crop spiral ----------------------------------------------------------
+
+
+def _ref_get_dx(idx):
+    """Verbatim reference implementation (data_augment.py:93-118) used as a
+    golden oracle."""
+    num = count = 0
+    next_num = 1
+    for _ in range(idx):
+        if not num == next_num:
+            num = num + 1 if next_num > 0 else num - 1
+        else:
+            if next_num > 0:
+                if count < num * 2 - 1:
+                    count += 1
+                else:
+                    next_num = -next_num
+                    count = 0
+                    num -= 1
+            else:
+                if count < (-num) * 2 + 1 - 1:
+                    count += 1
+                else:
+                    next_num = -next_num + 1
+                    count = 0
+                    num += 1
+    return -num
+
+
+def _ref_get_dy(idx):
+    num = count = next_num = 0
+    for _ in range(idx):
+        if not num == next_num:
+            num = num + 1 if next_num > 0 else num - 1
+        else:
+            if next_num >= 0:
+                if count < (num + 1) * 2 - 1:
+                    count += 1
+                else:
+                    next_num = -next_num - 1
+                    count = 0
+                    num -= 1
+            else:
+                if count < (-num - 1) * 2 + 2:
+                    count += 1
+                else:
+                    next_num = -next_num
+                    count = 0
+                    num += 1
+    return num
+
+
+def test_spiral_offsets_match_reference():
+    for idx in range(30):
+        assert get_dx(idx) == _ref_get_dx(idx), idx
+        assert get_dy(idx) == _ref_get_dy(idx), idx
+
+
+def test_spiral_first_ring():
+    # The documented spiral layout (data_augment.py:148-152): idx 0 centre,
+    # 1 left, 2 up-left, 3 up, ...
+    offsets = [(get_dx(i), get_dy(i)) for i in range(16)]
+    assert offsets[0] == (0, 0)
+    assert offsets[1] == (-1, 0)
+    # all 9 first-ring + centre positions are distinct
+    assert len(set(offsets[:9])) == 9
+
+
+def test_idx_to_offsets_center():
+    # n_crop=1 with equal sizes -> no offset
+    assert idx_to_offsets(0, (64, 64), (64, 64), 1, 1) == (0, 0)
+    # oversized storage: idx 0 sits at the centre of the margin
+    dh, dw = idx_to_offsets(0, (68, 68), (64, 64), 2, 2)
+    assert (dh, dw) == (2, 2)
+
+
+# -- config ---------------------------------------------------------------
+
+
+def test_config_compose_and_overrides(tmp_path):
+    from multimodal_rssm_tpu.core.config import (
+        compose, save_config, load_run_config,
+    )
+
+    cfg_dir = os.path.join(os.path.dirname(__file__), "..", "configs")
+    cfg = compose(cfg_dir, overrides=["rssm.belief_size=7", "main.seed=3",
+                                      "train.augmentation.noise_scales=[0.1,0.2]"])
+    assert cfg.rssm.belief_size == 7
+    assert cfg.main.seed == 3
+    assert cfg.train.augmentation.noise_scales == [0.1, 0.2]
+    assert cfg.env.action_name == "d_pose_quat_v2"
+    assert cfg.rssm.multimodal_params.fusion_method == "MoPoE"
+
+    # run-archive round trip (reference saves/reopens hydra_config.yaml)
+    out = tmp_path / "hydra_config.yaml"
+    save_config(cfg, str(out))
+    cfg2 = load_run_config(str(tmp_path))
+    assert cfg2.rssm.belief_size == 7
+    assert cfg2.env.observation_shapes.sound == [128, 20]
