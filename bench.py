@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Benchmark harness: COBOTTA-scale training steps/sec on the current JAX
+backend (TPU in production).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Configuration mirrors the reference's default experiment scale
+(config/train/train.yaml: batch 50 x chunk 50, belief 1024 / state 128,
+image_horizon + sound MoPoE fusion, AMP on -> bf16 here) on synthetic
+COBOTTA-schema episodes.  ``vs_baseline`` compares against the PyTorch
+reference measured by scripts/bench_reference_torch.py on this host
+(recorded in bench_baseline_torch.json); the reference publishes no numbers
+of its own (BASELINE.md).
+
+Flags: --steps N --warmup N --batch-size B --chunk-size L --small (tiny
+model for CI smoke).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--batch-size", type=int, default=50)
+    parser.add_argument("--chunk-size", type=int, default=50)
+    parser.add_argument("--small", action="store_true")
+    parser.add_argument("--episodes", type=int, default=4)
+    parser.add_argument("--episode-length", type=int, default=120)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_rssm_tpu.core.config import compose
+    from multimodal_rssm_tpu.data.buffer import build_buffer
+    from multimodal_rssm_tpu.data.synthetic import synthetic_episode
+    from multimodal_rssm_tpu.models.world_model import WorldModel
+    from multimodal_rssm_tpu.train import trainer as tr
+
+    overrides = [
+        f"train.batch_size={args.batch_size}",
+        f"train.chunk_size={args.chunk_size}",
+        "train.experience_size=20000",
+    ]
+    if args.small:
+        overrides += [
+            "rssm.belief_size=64", "rssm.state_size=16", "rssm.hidden_size=64",
+            "rssm.embedding_size.image=64", "rssm.embedding_size.sound=32",
+            "rssm.embedding_size.fusion=64", "rssm.embedding_size.other=16",
+            "train.use_amp=False",
+        ]
+    cfg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs")
+    cfg = compose(cfg_dir, overrides=overrides)
+
+    # synthetic episodes straight into the buffer (no filesystem round trip)
+    shapes = {
+        "image_horizon": cfg.env.observation_shapes["image_horizon"],
+        "sound": cfg.env.observation_shapes["sound"],
+    }
+    D = build_buffer(cfg)
+    import numpy as np
+
+    for i in range(args.episodes):
+        ep = synthetic_episode(args.episode_length, shapes,
+                               cfg.env.action_name, int(cfg.env.action_size),
+                               seed=i)
+        ep["nonterminals"] = 1.0 - np.expand_dims(ep.pop("done"), -1)
+        idx = np.arange(D.idx, D.idx + args.episode_length)
+        for name in D.observation_names:
+            D.observations[name][idx] = ep[name]
+        D.actions[idx] = ep[cfg.env.action_name]
+        D.rewards[idx] = ep["reward"]
+        D.nonterminals[idx] = ep["nonterminals"]
+        D.idx += args.episode_length
+        D.steps += args.episode_length
+        D.episodes += 1
+
+    model = WorldModel.from_config(cfg, dtype=tr.compute_dtype(cfg))
+    optimizer = tr.build_optimizer(cfg)
+    spec = tr.build_aug_spec(D)
+    draws_src = tr.HostAugmentDraws(D, spec)
+    train_step, _ = tr.make_train_step(model, cfg, optimizer, spec)
+
+    B, L = int(cfg.train.batch_size), int(cfg.train.chunk_size)
+    key = jax.random.PRNGKey(0)
+
+    def device_batch():
+        obs, act, rew, nt = D.sample(B, L)
+        return ({k: jnp.asarray(v) for k, v in obs.items()},
+                jnp.asarray(act), jnp.asarray(rew), jnp.asarray(nt))
+
+    raw = device_batch()
+    prep = tr.prepare_observations(raw[0], spec, draws_src.draw(),
+                                   int(cfg.env.bit_depth), key)
+    state = tr.init_train_state(model, cfg, optimizer, key,
+                                (prep, raw[1], raw[2], raw[3]))
+
+    for i in range(args.warmup):
+        key, k = jax.random.split(key)
+        state, metrics = train_step(state, device_batch(), draws_src.draw(), k)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        key, k = jax.random.split(key)
+        state, metrics = train_step(state, device_batch(), draws_src.draw(), k)
+    jax.block_until_ready(metrics["loss"])
+    elapsed = time.perf_counter() - t0
+    steps_per_sec = args.steps / elapsed
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "bench_baseline_torch.json")
+    vs_baseline = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)
+        base = baseline.get("steps_per_sec")
+        if base:
+            vs_baseline = steps_per_sec / base
+
+    print(json.dumps({
+        "metric": "cobotta_mrssm_train_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/s",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

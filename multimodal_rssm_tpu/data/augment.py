@@ -128,7 +128,8 @@ def calc_params_of_pca(images: np.ndarray, dt: int = 100):
     """
     sub = images[::dt].astype(np.float32)
     flat = sub.reshape(-1, sub.shape[-1]).T  # [C, P]
-    flat = (flat.T - flat.mean(axis=1)) / flat.std(axis=1)
+    # torch.std is unbiased (ddof=1) — match the reference normalisation
+    flat = (flat.T - flat.mean(axis=1)) / flat.std(axis=1, ddof=1)
     cov = np.cov(flat, rowvar=False)
     lambd, p = np.linalg.eigh(cov)
     return lambd.astype(np.float32), p.astype(np.float32)

@@ -1,0 +1,85 @@
+"""Run-level experiment infrastructure: results dirs, config snapshot, seeds.
+
+Replicates utils/logger.py (reference): ``results/{experiment}/{date}/run_{k}``
+layout with collision bumping (:15-28), git-hash capture (:31-34), config
+finalisation (overshooting clamp, saved back as ``hydra_config.yaml`` so
+evaluation tooling can re-open runs, :37-56), and seeding.  Device selection
+is JAX-native: whatever backend is configured (TPU in production, CPU under
+tests) — the reference's cuda/cpu pick (:96-104) has no TPU analogue.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from multimodal_rssm_tpu.core.config import ConfigDict, save_config
+from multimodal_rssm_tpu.io.metrics import MetricLogger
+
+
+def get_base_folder_name(cwd: str = ".", experiment_name: str = ".") -> Tuple[str, str]:
+    """``results/{exp}/{date}/run_{k}`` with collision bump (ref :15-28)."""
+    today = datetime.date.today()
+    count = 0
+    while True:
+        base = f"{cwd}/results/{experiment_name}/{today}/run_{count}"
+        if not os.path.exists(base):
+            break
+        count += 1
+    run_name = f"{experiment_name}/{today}/run_{count}"
+    os.makedirs(base, exist_ok=True)
+    return base, run_name
+
+
+def get_git_hash() -> Optional[str]:
+    try:
+        return (
+            subprocess.check_output("git rev-parse --short HEAD".split())
+            .strip()
+            .decode()
+        )
+    except Exception:
+        return None
+
+
+def init_cfg(cfg: ConfigDict, results_dir: str) -> ConfigDict:
+    """Finalise the config and snapshot it into the run dir (ref :37-56)."""
+    cfg.main.git_hash = get_git_hash()
+    cfg.rssm.overshooting_distance = min(
+        int(cfg.train.chunk_size), int(cfg.rssm.overshooting_distance or 0)
+    )
+    cfg.main.log_dir = results_dir
+    save_config(cfg, os.path.join(results_dir, "hydra_config.yaml"))
+    return cfg
+
+
+def setup_experiment(cfg: ConfigDict, cwd: str = "."):
+    """Init results dir + config + logger + seeds; returns
+    (cwd, results_dir, logger, key).  Mirrors ref ``setup_experiment``
+    (:76-105) with an explicit JAX PRNG key instead of global torch seeds.
+    """
+    if cfg.main.experiment_name is None:
+        raise ValueError("main.experiment_name must be set")
+    results_dir, run_name = get_base_folder_name(cwd, cfg.main.experiment_name)
+    cfg = init_cfg(cfg, results_dir)
+
+    logger = MetricLogger(
+        results_dir,
+        use_wandb=bool(cfg.main.wandb),
+        wandb_kwargs=dict(
+            name=run_name,
+            project=cfg.env.env_config.env_name,
+            config=cfg.to_dict(),
+            tags=cfg.main.tags,
+        ),
+    )
+
+    seed = int(cfg.main.seed or 0)
+    np.random.seed(seed)
+    key = jax.random.PRNGKey(seed)
+    return cwd, results_dir, logger, key

@@ -54,6 +54,29 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def param_spec(path_unused, leaf, n_model: int) -> P:
+    """Partition spec for one parameter leaf under the ``model`` axis:
+    matrices whose last dim divides the model-axis size are column-sharded
+    (output-feature sharding of the wide GRU/head matmuls — each device
+    computes a slice of the output features; XLA inserts the all-gathers
+    where a replicated value is needed).  Everything else is replicated."""
+    if n_model > 1 and leaf.ndim >= 2 and leaf.shape[-1] % n_model == 0:
+        return P(*([None] * (leaf.ndim - 1) + [MODEL_AXIS]))
+    return P()
+
+
+def shard_params(params, mesh: Mesh):
+    """device_put parameters with model-axis sharding where profitable."""
+    n_model = mesh.shape.get(MODEL_AXIS, 1)
+
+    def _put(leaf):
+        return jax.device_put(
+            leaf, NamedSharding(mesh, param_spec(None, leaf, n_model))
+        )
+
+    return jax.tree_util.tree_map(_put, params)
+
+
 def shard_batch(batch, mesh: Mesh, batch_dim: int = 1):
     """Device_put every leaf with its batch dim sharded over ``data``."""
     def _put(x):

@@ -1,0 +1,156 @@
+"""The training loop: run(cfg) — dataset load, model init/resume, iterate.
+
+Mirrors the reference trainer orchestration (algos/MRSSM/MRSSM/train.py:
+27-66: train/validation buffers, model build, optional model_path load,
+``train_iteration`` steps with ``validation_interval`` and
+``checkpoint_interval`` cadence) with TPU-native execution:
+
+- the jitted step runs asynchronously; the host overlaps chunk sampling for
+  step k+1 with device compute for step k (JAX dispatch is non-blocking,
+  and metric DeviceArrays are only materialised at logging cadence);
+- checkpoints carry the FULL training state (optimizer + step + PRNG) and
+  auto-resume (fixes reference quirks 5.6 — optimizer state discarded on
+  resume, iteration count not persisted);
+- batches are sharded over the mesh ``data`` axis when a mesh is provided.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_rssm_tpu.data.buffer import build_buffer, load_dataset
+from multimodal_rssm_tpu.io import checkpoint as ckpt
+from multimodal_rssm_tpu.io.experiment import setup_experiment
+from multimodal_rssm_tpu.models.world_model import WorldModel
+from multimodal_rssm_tpu.parallel import mesh as mesh_lib
+from multimodal_rssm_tpu.train import trainer as tr
+
+
+def get_dataset_loader(cfg, cwd, dataset_path, seed=0):
+    """Buffer construction + load (ref train.py:9-25)."""
+    D = build_buffer(cfg, seed=seed)
+    load_dataset(cfg, cwd, D, dataset_path)
+    return D
+
+
+def _device_batch(sample, mesh=None):
+    obs, act, rew, nt = sample
+    batch = (
+        {k: jnp.asarray(v) for k, v in obs.items()},
+        jnp.asarray(act), jnp.asarray(rew), jnp.asarray(nt),
+    )
+    if mesh is not None:
+        batch = mesh_lib.shard_batch(batch, mesh, batch_dim=1)
+    return batch
+
+
+def train(cfg, cwd, results_dir, logger, key, mesh=None, progress=True):
+    """One full training run (ref train.py:27-55)."""
+    seed = int(cfg.main.seed or 0)
+    D = get_dataset_loader(cfg, cwd, cfg.train.train_data_path, seed)
+    D_val = get_dataset_loader(cfg, cwd, cfg.train.validation_data_path, seed + 1)
+
+    model = WorldModel.from_config(cfg, dtype=tr.compute_dtype(cfg))
+    optimizer = tr.build_optimizer(cfg)
+    aug_spec = tr.build_aug_spec(D)
+    draws = tr.HostAugmentDraws(D, aug_spec, seed=seed)
+    train_step, eval_step = tr.make_train_step(model, cfg, optimizer, aug_spec)
+
+    B, L = int(cfg.train.batch_size), int(cfg.train.chunk_size)
+
+    # init (or resume) train state
+    key, init_key, prep_key = jax.random.split(key, 3)
+    sample = D.sample(B, L)
+    prep_obs = tr.prepare_observations(
+        {k: jnp.asarray(v) for k, v in sample[0].items()},
+        aug_spec, draws.draw(), int(cfg.env.bit_depth), prep_key,
+    )
+    state = tr.init_train_state(
+        model, cfg, optimizer, init_key,
+        (prep_obs, jnp.asarray(sample[1]), jnp.asarray(sample[2]), jnp.asarray(sample[3])),
+    )
+
+    start_step = 0
+    restored = ckpt.restore_or_none(results_dir, state)
+    if restored is not None:
+        state, start_step, extra = restored
+        key = jnp.asarray(extra.get("key", key), jnp.uint32) if "key" in extra else key
+        print(f"resumed from step {start_step}")
+    elif cfg.train.model_path:
+        import os
+
+        model_path = os.path.join(cwd, str(cfg.train.model_path))
+        if model_path.endswith(".pth"):
+            from multimodal_rssm_tpu.io.torch_import import load_reference_checkpoint
+
+            variables = load_reference_checkpoint(model_path, model)
+            state = state.replace(
+                params=variables["params"],
+                batch_stats=variables.get("batch_stats", state.batch_stats),
+            )
+        elif os.path.exists(model_path):
+            state, _, _ = ckpt.load_checkpoint(model_path, state)
+        else:
+            raise FileNotFoundError(model_path)
+
+    total = int(cfg.train.train_iteration)
+    val_every = int(cfg.train.validation_interval)
+    ckpt_every = int(cfg.train.checkpoint_interval)
+
+    pending_metrics = None
+    pending_step = None
+    t_start = time.time()
+    iterator = range(start_step + 1, total + 1)
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            iterator = tqdm(iterator, desc="train", initial=start_step, total=total)
+        except ImportError:
+            pass
+
+    for itr in iterator:
+        key, step_key = jax.random.split(key)
+        batch = _device_batch(D.sample(B, L), mesh)
+        state, metrics = train_step(state, batch, draws.draw(), step_key)
+
+        # lazy metric materialisation: log the previous step's metrics
+        if pending_metrics is not None:
+            logger.log(jax.device_get(pending_metrics), pending_step, "train")
+            logger.log_frame_count(pending_step, B, L)
+        pending_metrics, pending_step = metrics, itr
+
+        if itr % val_every == 0:
+            key, val_key = jax.random.split(key)
+            vbatch = _device_batch(D_val.sample(B, L), mesh)
+            vmetrics = eval_step(state, vbatch, draws.draw(), val_key)
+            logger.log(jax.device_get(vmetrics), itr, "validation")
+
+        if itr % ckpt_every == 0:
+            ckpt.save_checkpoint(
+                results_dir, itr, state,
+                extra={"key": np.asarray(jax.device_get(key))},
+            )
+
+    if pending_metrics is not None:
+        logger.log(jax.device_get(pending_metrics), pending_step, "train")
+    elapsed = time.time() - t_start
+    steps_done = total - start_step
+    if steps_done > 0:
+        logger.log({"steps_per_sec": steps_done / elapsed}, total, "perf")
+    return state
+
+
+def run(cfg, cwd: str = ".", mesh=None):
+    """Entry point (ref train.py:58-66): setup -> train -> close logger."""
+    cwd, results_dir, logger, key = setup_experiment(cfg, cwd)
+    try:
+        state = train(cfg, cwd, results_dir, logger, key, mesh=mesh)
+    finally:
+        logger.finish()
+    return state, results_dir

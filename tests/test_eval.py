@@ -1,0 +1,116 @@
+"""Tests for the evaluation library: episode state estimation,
+reconstruction, open-loop imagination, cross-modal inference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_rssm_tpu.eval import imagination, state_estimation, visualize
+from multimodal_rssm_tpu.models.world_model import WorldModel
+from multimodal_rssm_tpu.train import trainer as tr
+
+
+@pytest.fixture(scope="module")
+def small_model_and_vars(tiny_cfg, tiny_buffer):
+    model = WorldModel.from_config(tiny_cfg)
+    spec = tr.build_aug_spec(tiny_buffer)
+    key = jax.random.PRNGKey(0)
+    obs, act, rew, nt = tiny_buffer.sample(2, 6)
+    prep = tr.prepare_observations(
+        {k: jnp.asarray(v) for k, v in obs.items()}, spec,
+        tr.HostAugmentDraws(tiny_buffer, spec).draw(),
+        int(tiny_cfg.env.bit_depth), key,
+    )
+    obs_target = {k: v[1:] for k, v in prep.items()}
+    variables = model.init(key, obs_target, jnp.asarray(act)[:-1],
+                           jnp.asarray(nt)[:-1], key, train=False)
+    return model, variables
+
+
+def test_episode_bounds(tiny_buffer):
+    bounds = state_estimation.episode_bounds(tiny_buffer)
+    # 3 synthetic episodes of length 40
+    assert list(bounds) == [0, 40, 80, 120]
+
+
+def test_estimate_episode(small_model_and_vars, tiny_buffer):
+    model, variables = small_model_and_vars
+    states = state_estimation.estimate_episode(
+        model, variables, tiny_buffer, epi_idx=1, det=True
+    )
+    # batch-1, T-1=39 outputs
+    assert states["beliefs"].shape == (39, 1, model.belief_size)
+    assert states["posterior_means"].shape == (39, 1, model.state_size)
+    assert np.isfinite(np.asarray(states["posterior_means"])).all()
+
+
+def test_get_states_keys(small_model_and_vars, tiny_buffer):
+    model, variables = small_model_and_vars
+    states = state_estimation.get_states(model, variables, tiny_buffer)
+    assert len(states) == 3
+    first = next(iter(states.values()))
+    assert isinstance(first["beliefs"], np.ndarray)
+    assert isinstance(first["expert_means"], dict)
+
+
+def test_reconstruct_and_imagine(small_model_and_vars, tiny_buffer, tiny_cfg):
+    model, variables = small_model_and_vars
+    spec = tr.build_aug_spec(tiny_buffer)
+    key = jax.random.PRNGKey(1)
+    obs, act, rew, nt = tiny_buffer.sample(2, 8)
+    prep = tr.prepare_observations(
+        {k: jnp.asarray(v) for k, v in obs.items()}, spec,
+        state_estimation.fixed_draws(tiny_buffer, spec),
+        int(tiny_cfg.env.bit_depth), key,
+    )
+    obs_target = {k: v[1:] for k, v in prep.items()}
+    actions = jnp.asarray(act)[:-1]
+    states = model.apply(variables, obs_target, actions, jnp.asarray(nt)[:-1],
+                         None, True, False, method=model.estimate_state)
+
+    recon = imagination.reconstruct(model, variables, states)
+    assert recon["image_horizon"]["loc"].shape == (7, 2, 64, 64, 3)
+
+    t_start, horizon = 2, 4
+    roll, preds = imagination.imagine(model, variables, states, actions,
+                                      t_start, horizon, det=True)
+    assert roll["beliefs"].shape == (horizon, 2, model.belief_size)
+    assert preds["sound"]["loc"].shape == (horizon, 2, 128, 20)
+
+    mse = imagination.video_prediction_mse(preds, obs_target, t_start, horizon)
+    assert set(mse) == {"image_horizon", "sound"}
+    assert all(np.isfinite(v) for v in mse.values())
+
+
+def test_cross_modal_inference(small_model_and_vars, tiny_buffer, tiny_cfg):
+    """Posterior from a single modality's expert (+ prior expert), using the
+    full model's parameters."""
+    model, variables = small_model_and_vars
+    sub = imagination.cross_modal_model(model, ("sound",))
+    spec = tr.build_aug_spec(tiny_buffer)
+    key = jax.random.PRNGKey(2)
+    obs, act, rew, nt = tiny_buffer.sample(2, 6)
+    prep = tr.prepare_observations(
+        {k: jnp.asarray(v) for k, v in obs.items()}, spec,
+        state_estimation.fixed_draws(tiny_buffer, spec),
+        int(tiny_cfg.env.bit_depth), key,
+    )
+    obs_target = {k: v[1:] for k, v in prep.items()}
+    states = sub.apply(variables, obs_target, jnp.asarray(act)[:-1],
+                       jnp.asarray(nt)[:-1], None, True, False,
+                       method=sub.estimate_state)
+    assert states["posterior_means"].shape == (5, 2, model.state_size)
+    assert set(states["expert_means"].keys()) == {"prior_expert", "sound"}
+
+
+def test_pca_utils(rng):
+    feats = [rng.normal(size=(20, 8)).astype(np.float32) for _ in range(3)]
+    pca, proj = visualize.pca_trajectories(feats, n_components=2)
+    assert proj[0].shape == (20, 2)
+
+
+def test_reverse_image_roundtrip(rng):
+    img = rng.uniform(-0.5, 0.5, size=(4, 4, 3)).astype(np.float32)
+    out = visualize.reverse_image_observation(img)
+    assert out.dtype == np.uint8

@@ -1,0 +1,89 @@
+"""Multi-device tests on the 8-virtual-device CPU mesh (SURVEY §4e):
+data-parallel sharded training must match the single-device step."""
+
+import copy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_rssm_tpu.models.world_model import WorldModel
+from multimodal_rssm_tpu.parallel import mesh as mesh_lib
+from multimodal_rssm_tpu.train import trainer as tr
+
+
+def test_virtual_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_mesh_and_batch_sharding():
+    mesh = mesh_lib.create_mesh()
+    assert mesh.shape[mesh_lib.DATA_AXIS] == 8
+    x = jnp.ones((4, 8, 3))
+    sharded = mesh_lib.shard_batch({"x": x}, mesh)["x"]
+    spec = tuple(sharded.sharding.spec)
+    assert spec[1] == "data" and all(s is None for s in spec[:1] + spec[2:])
+
+
+@pytest.fixture(scope="module")
+def dp_setup(tiny_cfg, tiny_buffer):
+    cfg = copy.deepcopy(tiny_cfg)
+    cfg.train.batch_size = 8  # divisible by 8 devices
+    cfg.train.chunk_size = 6
+    model = WorldModel.from_config(cfg)
+    optimizer = tr.build_optimizer(cfg)
+    spec = tr.build_aug_spec(tiny_buffer)
+    train_step, eval_step = tr.make_train_step(model, cfg, optimizer, spec)
+
+    key = jax.random.PRNGKey(0)
+    obs, act, rew, nt = tiny_buffer.sample(8, 6)
+    raw = ({k: jnp.asarray(v) for k, v in obs.items()},
+           jnp.asarray(act), jnp.asarray(rew), jnp.asarray(nt))
+    draws = tr.HostAugmentDraws(tiny_buffer, spec).draw()
+    prep = tr.prepare_observations(raw[0], spec, draws,
+                                   int(cfg.env.bit_depth), key)
+    state = tr.init_train_state(model, cfg, optimizer, key,
+                                (prep, raw[1], raw[2], raw[3]))
+    return cfg, model, train_step, state, raw, draws, key
+
+
+def test_dp_sharded_step_matches_single_device(dp_setup):
+    """The jitted step on a batch sharded over 8 devices produces the same
+    params as on a replicated (single-device-layout) batch — XLA's implicit
+    gradient psum is exact here because every collective reduces the same
+    f32 values."""
+    cfg, model, train_step, state, raw, draws, key = dp_setup
+    mesh = mesh_lib.create_mesh()
+
+    # single-device baseline
+    state_a, metrics_a = train_step(
+        jax.tree_util.tree_map(jnp.copy, state), raw, draws, key
+    )
+    # sharded
+    sharded_batch = mesh_lib.shard_batch(raw, mesh, batch_dim=1)
+    state_b, metrics_b = train_step(
+        jax.tree_util.tree_map(jnp.copy, state), sharded_batch, draws, key
+    )
+
+    np.testing.assert_allclose(
+        float(metrics_a["loss"]), float(metrics_b["loss"]), rtol=1e-5
+    )
+    leaves_a = jax.tree_util.tree_leaves(state_a.params)
+    leaves_b = jax.tree_util.tree_leaves(state_b.params)
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_dryrun_multichip():
+    """The driver-facing multi-chip dry run compiles and executes."""
+    import importlib.util, os
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
