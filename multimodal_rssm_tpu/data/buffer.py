@@ -21,6 +21,7 @@ import numpy as np
 
 from multimodal_rssm_tpu.data.augment import calc_params_of_pca, storage_image_shape
 from multimodal_rssm_tpu.data.episodes import get_data, get_file_names
+from multimodal_rssm_tpu.data.native import gather_chunks
 from multimodal_rssm_tpu.ops.image import reverse_normalized_image
 
 
@@ -102,14 +103,13 @@ class ExperienceReplay:
         Returns (observations {name: [L, n, ...]}, actions [L, n, A],
         rewards [L, n], nonterminals [L, n, 1]); images stay uint8.
         """
-        vec = idxs.transpose().reshape(-1)
-        observations = {}
-        for name in self.observation_names:
-            arr = self.observations[name][vec]
-            observations[name] = arr.reshape(L, n, *arr.shape[1:])
-        actions = self.actions[vec].reshape(L, n, -1)
-        rewards = self.rewards[vec].reshape(L, n)
-        nonterminals = self.nonterminals[vec].reshape(L, n, 1)
+        observations = {
+            name: gather_chunks(self.observations[name], idxs)
+            for name in self.observation_names
+        }
+        actions = gather_chunks(self.actions, idxs)
+        rewards = gather_chunks(self.rewards, idxs)
+        nonterminals = gather_chunks(self.nonterminals, idxs)
         return observations, actions, rewards, nonterminals
 
     def sample(self, n: int, L: int):

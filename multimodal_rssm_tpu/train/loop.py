@@ -105,6 +105,17 @@ def train(cfg, cwd, results_dir, logger, key, mesh=None, progress=True):
     pending_metrics = None
     pending_step = None
     t_start = time.time()
+
+    # host-side prefetch: sample + transfer the next batch while the device
+    # computes the current step
+    from multimodal_rssm_tpu.train.prefetch import Prefetcher
+
+    prefetcher = Prefetcher(lambda: _device_batch(D.sample(B, L), mesh), depth=2)
+
+    # optional jax.profiler trace (SURVEY §5: the reference has no tracing)
+    profile_dir = cfg.train.get("profile_dir")
+    profile_window = (start_step + 10, start_step + 15)
+
     iterator = range(start_step + 1, total + 1)
     if progress:
         try:
@@ -115,9 +126,14 @@ def train(cfg, cwd, results_dir, logger, key, mesh=None, progress=True):
             pass
 
     for itr in iterator:
+        if profile_dir and itr == profile_window[0]:
+            jax.profiler.start_trace(str(profile_dir))
         key, step_key = jax.random.split(key)
-        batch = _device_batch(D.sample(B, L), mesh)
+        batch = prefetcher.get()
         state, metrics = train_step(state, batch, draws.draw(), step_key)
+        if profile_dir and itr == profile_window[1]:
+            jax.block_until_ready(metrics["loss"])
+            jax.profiler.stop_trace()
 
         # lazy metric materialisation: log the previous step's metrics
         if pending_metrics is not None:
@@ -137,6 +153,7 @@ def train(cfg, cwd, results_dir, logger, key, mesh=None, progress=True):
                 extra={"key": np.asarray(jax.device_get(key))},
             )
 
+    prefetcher.close()
     if pending_metrics is not None:
         logger.log(jax.device_get(pending_metrics), pending_step, "train")
     elapsed = time.time() - t_start

@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Model analysis artifacts — the library-grade replacement for the
+reference's manual ``check_model.ipynb``:
+
+- per-modality posterior reconstruction vs ground truth (PNG grids,
+  notebook cells 33-36);
+- latent-space PCA trajectories of beliefs / posterior means (cells 25-29);
+- open-loop imagination rollouts + video-prediction MSE (cells 55-58).
+
+    python scripts/check_model.py --run results/exp/2026-08-16/run_0 \
+        [--itr 10000] [--episode 0] [--t-start 20] [--horizon 20]
+
+Outputs land in ``{run}/analysis/``.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--run", required=True)
+    parser.add_argument("--itr", type=int, default=10_000)
+    parser.add_argument("--episode", type=int, default=0)
+    parser.add_argument("--t-start", type=int, default=20)
+    parser.add_argument("--horizon", type=int, default=20)
+    parser.add_argument("--cwd", default=".")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_rssm_tpu.core.config import load_run_config
+    from multimodal_rssm_tpu.eval import imagination, state_estimation, visualize
+    from multimodal_rssm_tpu.models.world_model import WorldModel
+    from multimodal_rssm_tpu.train import trainer as tr
+    from multimodal_rssm_tpu.train.loop import get_dataset_loader
+
+    cfg = load_run_config(args.run)
+    cfg.main.wandb = False
+    out_dir = os.path.join(args.run, "analysis")
+    os.makedirs(out_dir, exist_ok=True)
+
+    for ext in (".msgpack", ".pth"):
+        model_path = os.path.join(args.run, f"models_{args.itr}{ext}")
+        if os.path.exists(model_path):
+            break
+    else:
+        raise FileNotFoundError(f"no models_{args.itr} checkpoint in {args.run}")
+
+    model = WorldModel.from_config(cfg)
+    variables = state_estimation.load_model_variables(model, cfg, model_path)
+    D = get_dataset_loader(cfg, args.cwd, cfg.train.train_data_path)
+    spec = tr.build_aug_spec(D)
+    bit_depth = int(cfg.env.bit_depth)
+
+    # -- per-episode posterior estimation -----------------------------
+    key = jax.random.PRNGKey(0)
+    k_prep, k_est = jax.random.split(key)
+    obs, actions, rewards, nonterm = state_estimation.get_episode_data(
+        D, args.episode, spec, state_estimation.fixed_draws(D, spec),
+        bit_depth, k_prep,
+    )
+    obs_target = {k: v[1:] for k, v in obs.items()}
+    actions_in = actions[:-1]
+    states = model.apply(variables, obs_target, actions_in, nonterm[:-1],
+                         None, True, False, method=model.estimate_state)
+
+    # -- reconstruction grid ------------------------------------------
+    recon = imagination.reconstruct(model, variables, states)
+    _save_image_grids(out_dir, "reconstruction", recon, obs_target, bit_depth)
+
+    # -- PCA of latents ------------------------------------------------
+    try:
+        pca_b, proj_b = visualize.pca_trajectories(
+            [np.asarray(states["beliefs"])[:, 0]], 2)
+        pca_s, proj_s = visualize.pca_trajectories(
+            [np.asarray(states["posterior_means"])[:, 0]], 2)
+        np.save(os.path.join(out_dir, "pca_beliefs.npy"), proj_b[0])
+        np.save(os.path.join(out_dir, "pca_posterior_means.npy"), proj_s[0])
+        _plot_pca(out_dir, proj_b[0], proj_s[0])
+    except Exception as e:  # sklearn optional
+        print(f"PCA skipped: {e}")
+
+    # -- open-loop imagination ----------------------------------------
+    t_start = min(args.t_start, actions_in.shape[0] - 2)
+    horizon = min(args.horizon, actions_in.shape[0] - t_start - 1)
+    roll, preds = imagination.imagine(
+        model, variables, states, actions_in, t_start, horizon, det=True)
+    mse = imagination.video_prediction_mse(preds, obs_target, t_start, horizon)
+    with open(os.path.join(out_dir, "imagination_mse.json"), "w") as f:
+        json.dump({"t_start": t_start, "horizon": horizon, "mse": mse}, f,
+                  indent=2)
+    gt_window = {k: v[t_start + 1 : t_start + 1 + horizon]
+                 for k, v in obs_target.items()}
+    _save_image_grids(out_dir, "imagination", preds, gt_window, bit_depth)
+    print(f"analysis artifacts in {out_dir}; imagination MSE: {mse}")
+
+
+def _save_image_grids(out_dir, tag, preds, targets, bit_depth, max_frames=8):
+    from multimodal_rssm_tpu.eval.visualize import reverse_image_observation
+
+    for name, pred in preds.items():
+        if "image" not in name:
+            continue
+        loc = np.asarray(pred["loc"])[:, 0]  # [T, H, W, C]
+        gt = np.asarray(targets[name])[:, 0]
+        step = max(1, loc.shape[0] // max_frames)
+        sel = slice(0, max_frames * step, step)
+        row_pred = np.concatenate(list(reverse_image_observation(loc[sel], bit_depth)), axis=1)
+        row_gt = np.concatenate(list(reverse_image_observation(gt[sel], bit_depth)), axis=1)
+        grid = np.concatenate([row_gt, row_pred], axis=0)
+        try:
+            from PIL import Image
+
+            if grid.shape[-1] == 1:
+                grid = grid[..., 0]
+            Image.fromarray(grid).save(os.path.join(out_dir, f"{tag}_{name}.png"))
+        except ImportError:
+            np.save(os.path.join(out_dir, f"{tag}_{name}.npy"), grid)
+
+
+def _plot_pca(out_dir, proj_beliefs, proj_states):
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+        for ax, proj, title in zip(axes, (proj_beliefs, proj_states),
+                                   ("beliefs", "posterior means")):
+            sc = ax.scatter(proj[:, 0], proj[:, 1],
+                            c=np.arange(len(proj)), cmap="viridis", s=8)
+            ax.set_title(f"PCA of {title}")
+        fig.colorbar(sc, ax=axes, label="t")
+        fig.savefig(os.path.join(out_dir, "pca_latents.png"), dpi=120)
+        plt.close(fig)
+    except ImportError:
+        pass
+
+
+if __name__ == "__main__":
+    main()
