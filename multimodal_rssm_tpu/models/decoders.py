@@ -40,6 +40,14 @@ from multimodal_rssm_tpu.ops import gaussian
 Dtype = Any
 
 
+def _maybe_remat(cls, remat: bool):
+    """nn.remat a decoder class (``train`` is static arg index 3 of the
+    lifted (h, s, train) __call__) — backward recomputes the ConvTranspose
+    stacks instead of storing their activations; the sound decoder's
+    intermediates alone are several GB at reference batch sizes."""
+    return nn.remat(cls, static_argnums=(3,)) if remat else cls
+
+
 def _fold(h: jnp.ndarray, s: jnp.ndarray) -> Tuple[jnp.ndarray, int, int]:
     T, B = h.shape[:2]
     x = jnp.concatenate([h.reshape(T * B, -1), s.reshape(T * B, -1)], axis=-1)
@@ -75,11 +83,11 @@ class DecoderBase(nn.Module):
     """Gaussian-likelihood helpers shared by all decoders (ref :9-31)."""
 
     def get_log_prob(self, h, s, o, train: bool = True):
-        out = self(h, s, train=train)
+        out = self(h, s, train)
         return gaussian.log_prob(out["loc"], jnp.asarray(out["scale"], jnp.float32), o)
 
     def get_mse(self, h, s, o, train: bool = True):
-        out = self(h, s, train=train)
+        out = self(h, s, train)
         return jnp.square(out["loc"] - o)
 
 
@@ -306,6 +314,7 @@ def build_observation_model(
     activation_function: Mapping[str, str],
     normalization: Optional[str],
     dtype: Dtype,
+    remat: bool = False,
 ) -> nn.Module:
     """Name-dispatch decoder factory (ref ``build_ObservationModel``,
     :515-533)."""
@@ -314,7 +323,7 @@ def build_observation_model(
         size = list(shape[1:])
         cls = {64: ImageDecoder64, 84: ImageDecoder84, 128: ImageDecoder128,
                256: ImageDecoder256}[size[0]]
-        return cls(
+        return _maybe_remat(cls, remat)(
             embedding_size=embedding_size["image"],
             activation_function=activation_function["cnn"],
             image_dim=shape[0],
@@ -322,7 +331,7 @@ def build_observation_model(
             dtype=dtype,
         )
     if "sound" in name:
-        return SoundDecoderV2(dtype=dtype)
+        return _maybe_remat(SoundDecoderV2, remat)(dtype=dtype)
     if name == "draw_target":
         return Discriminator(hidden_size=hidden_size, output_size=shape[0], dtype=dtype)
     return DenseDecoder(
@@ -345,6 +354,7 @@ class MultimodalObservationModel(nn.Module):
     activation_function: Mapping[str, str]
     normalization: Optional[str] = None
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     def setup(self):
         models = {}
@@ -352,12 +362,12 @@ class MultimodalObservationModel(nn.Module):
             models[name] = build_observation_model(
                 name, self.observation_shapes, self.belief_size, self.state_size,
                 self.hidden_size, self.embedding_size, self.activation_function,
-                self.normalization, self.dtype,
+                self.normalization, self.dtype, remat=self.remat,
             )
         self.models = models
 
     def __call__(self, h, s, train: bool = True) -> Dict[str, Dict[str, jnp.ndarray]]:
-        return {name: self.models[name](h, s, train=train)
+        return {name: self.models[name](h, s, train)
                 for name in self.observation_names_rec}
 
     def get_log_prob(self, h, s, o, train: bool = True):

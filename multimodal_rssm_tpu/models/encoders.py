@@ -31,6 +31,14 @@ from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+def _maybe_remat(cls, remat: bool):
+    """Wrap an encoder class in nn.remat (activation rematerialisation):
+    backward recomputes the conv stack instead of keeping its activations —
+    the HBM-for-FLOPs trade that fits reference-scale batches on a chip
+    (``train`` is static arg index 2 of the lifted __call__)."""
+    return nn.remat(cls, static_argnums=(2,)) if remat else cls
+
+
 from multimodal_rssm_tpu.models.layers import (
     BatchNorm,
     Conv,
@@ -276,11 +284,13 @@ def build_image_encoder(
     normalization: Optional[str],
     dtype: Dtype,
     name: Optional[str] = None,
+    remat: bool = False,
 ) -> nn.Module:
     """Dispatch on image H×W (ref ``build_ImageEncoder``, :723-734)."""
     size = list(observation_shape[1:])
     cls = {64: ImageEncoder64, 84: ImageEncoder84, 128: ImageEncoder128,
            256: ImageEncoder256}[size[0]]
+    cls = _maybe_remat(cls, remat)
     return cls(
         embedding_size=embedding_size,
         activation_function=activation_function,
@@ -298,6 +308,7 @@ def build_encoder(
     normalization: Optional[str],
     dtype: Dtype,
     module_name: Optional[str] = None,
+    remat: bool = False,
 ) -> nn.Module:
     """Name-dispatch encoder factory (ref ``build_Encoder``, :736-744):
     "image" in name -> image encoder; "sound" -> SoundEncoderV2; else MLP."""
@@ -305,11 +316,12 @@ def build_encoder(
     if "image" in name:
         return build_image_encoder(
             shape, embedding_size["image"], activation_function["cnn"],
-            normalization, dtype, name=module_name,
+            normalization, dtype, name=module_name, remat=remat,
         )
     if "sound" in name:
-        return SoundEncoderV2(embedding_size=embedding_size["sound"], dtype=dtype,
-                              name=module_name)
+        return _maybe_remat(SoundEncoderV2, remat)(
+            embedding_size=embedding_size["sound"], dtype=dtype,
+            name=module_name)
     return SymbolicEncoder(
         embedding_size=embedding_size["other"],
         activation_function=activation_function["dense"],
@@ -343,6 +355,7 @@ class MultimodalEncoder(nn.Module):
     activation_function: Mapping[str, str]
     normalization: Optional[str] = None
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -353,9 +366,9 @@ class MultimodalEncoder(nn.Module):
             enc = build_encoder(
                 name, self.observation_shapes, self.embedding_size,
                 self.activation_function, self.normalization, self.dtype,
-                module_name=name,
+                module_name=name, remat=self.remat,
             )
-            out[name] = enc(get_obs(observations, name), train=train)
+            out[name] = enc(get_obs(observations, name), train)
         return out
 
 
@@ -422,6 +435,7 @@ class MultimodalStochasticEncoder(nn.Module):
     normalization: Optional[str] = None
     min_std_dev: float = 0.1
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -434,9 +448,9 @@ class MultimodalStochasticEncoder(nn.Module):
             enc = build_encoder(
                 name, self.observation_shapes, self.embedding_size,
                 self.activation_function, self.normalization, self.dtype,
-                module_name=name,
+                module_name=name, remat=self.remat,
             )
-            hid = enc(get_obs(observations, name), train=train)
+            hid = enc(get_obs(observations, name), train)
             head = ObsEncoderNoBelief(
                 state_size=self.state_size,
                 hidden_size=self.hidden_size,

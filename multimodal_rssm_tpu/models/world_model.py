@@ -62,6 +62,7 @@ class WorldModel(nn.Module):
     expert_dist: str = "q(st|ht,ot)"
     min_std_dev: float = 0.1
     dtype: Dtype = jnp.float32
+    remat: bool = True
 
     def setup(self):
         embedding_sizes = {
@@ -77,6 +78,7 @@ class WorldModel(nn.Module):
                     activation_function=self.activation_function,
                     normalization=self.normalization,
                     dtype=self.dtype,
+                    remat=self.remat,
                 )
             else:  # q(st|ot): encoder emits (loc, scale) experts directly
                 self.encoder = MultimodalStochasticEncoder(
@@ -89,6 +91,7 @@ class WorldModel(nn.Module):
                     normalization=self.normalization,
                     min_std_dev=self.min_std_dev,
                     dtype=self.dtype,
+                    remat=self.remat,
                 )
         else:
             # Unimodal RSSM encodes only the first modality
@@ -100,6 +103,7 @@ class WorldModel(nn.Module):
                 activation_function=self.activation_function,
                 normalization=self.normalization,
                 dtype=self.dtype,
+                remat=self.remat,
             )
 
         self.core = RSSMCore(
@@ -132,6 +136,7 @@ class WorldModel(nn.Module):
             activation_function=self.activation_function,
             normalization=self.normalization,
             dtype=self.dtype,
+            remat=self.remat,
         )
         self.reward_model = RewardModel(
             hidden_size=self.hidden_size,
@@ -284,4 +289,5 @@ class WorldModel(nn.Module):
             fusion_method=fusion_method,
             expert_dist=expert_dist,
             dtype=dtype,
+            remat=bool(rssm.get("remat", True)),
         )

@@ -82,6 +82,9 @@ class RSSMCell(nn.Module):
         h_next = GRUCell(self.belief_size, dtype=dtype, name="rnn")(
             h.astype(dtype), hidden
         )
+        # Carry and emit the belief in f32: the GRU state accumulates over
+        # 49 steps, and all heads/losses re-cast to the compute dtype anyway.
+        h_next = h_next.astype(jnp.float32)
 
         # Prior p(s_t | h_t) (ref :80-85, :240-245).
         prior = self._head("ssm", h_next)
