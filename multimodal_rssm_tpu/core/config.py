@@ -130,6 +130,18 @@ def compose(
     root_path = os.path.join(config_dir, config_name + ".yaml")
     root = load_yaml(root_path)
 
+    # hydra-style group overrides: "rssm=unimodal" swaps the whole group
+    # option before composition; dotted "a.b=c" overrides apply after.
+    overrides = list(overrides or [])
+    group_overrides = {}
+    value_overrides = []
+    for ov in overrides:
+        key = ov.split("=", 1)[0]
+        if "=" in ov and "." not in key:
+            group_overrides[key.strip()] = ov.split("=", 1)[1].strip()
+        else:
+            value_overrides.append(ov)
+
     cfg: Dict[str, Any] = {}
     defaults: List[Any] = root.pop("defaults", [])
     for entry in defaults:
@@ -137,17 +149,20 @@ def compose(
             for group, option in entry.items():
                 if group == "_self_" or option is None:
                     continue
+                option = group_overrides.pop(str(group), option)
                 group_cfg = load_yaml(
                     os.path.join(config_dir, str(group), str(option) + ".yaml")
                 )
                 _merge(cfg.setdefault(group, {}), group_cfg)
         elif entry == "_self_":
             continue
+    if group_overrides:
+        raise ValueError(f"unknown config groups: {sorted(group_overrides)}")
     _merge(cfg, root)
 
     config = ConfigDict(cfg)
-    if overrides:
-        apply_overrides(config, overrides)
+    if value_overrides:
+        apply_overrides(config, value_overrides)
     return config
 
 

@@ -49,6 +49,7 @@ TINY_OVERRIDES = [
     "train.chunk_size=8",
     "train.experience_size=512",
     "train.use_amp=False",
+    "rssm.remat=False",  # remat slows XLA:CPU compiles hugely; tiny shapes fit
 ]
 
 
