@@ -88,7 +88,6 @@ def main():
     optimizer = tr.build_optimizer(cfg)
     spec = tr.build_aug_spec(D)
     draws_src = tr.HostAugmentDraws(D, spec)
-    train_step, _ = tr.make_train_step(model, cfg, optimizer, spec)
 
     B, L = int(cfg.train.batch_size), int(cfg.train.chunk_size)
     key = jax.random.PRNGKey(0)
@@ -104,16 +103,39 @@ def main():
     state = tr.init_train_state(model, cfg, optimizer, key,
                                 (prep, raw[1], raw[2], raw[3]))
 
+    # HBM-resident replay when the dataset fits: the steady-state
+    # host->device traffic is a few KB of chunk indices per step
+    # (data/device_buffer.py).
+    from multimodal_rssm_tpu.data.device_buffer import DeviceReplay
+
+    use_device_replay = DeviceReplay.fits(D)
+    if use_device_replay:
+        dev = DeviceReplay(D)
+        train_step, _ = tr.make_device_resident_steps(
+            model, cfg, optimizer, spec, D.observation_names)
+
+        def run_step(state, k):
+            return train_step(state, dev.arrays, dev.sample_indices(B, L),
+                              draws_src.draw(), k)
+    else:
+        train_step, _ = tr.make_train_step(model, cfg, optimizer, spec)
+
+        def run_step(state, k):
+            return train_step(state, device_batch(), draws_src.draw(), k)
+
     for i in range(args.warmup):
         key, k = jax.random.split(key)
-        state, metrics = train_step(state, device_batch(), draws_src.draw(), k)
-    jax.block_until_ready(metrics["loss"])
+        state, metrics = run_step(state, k)
+    # value fetch, not block_until_ready: through the remote-TPU tunnel the
+    # latter can return before execution completes (observed empirically);
+    # materialising the scalar is the reliable barrier.
+    float(jax.device_get(metrics["loss"]))
 
     t0 = time.perf_counter()
     for i in range(args.steps):
         key, k = jax.random.split(key)
-        state, metrics = train_step(state, device_batch(), draws_src.draw(), k)
-    jax.block_until_ready(metrics["loss"])
+        state, metrics = run_step(state, k)
+    float(jax.device_get(metrics["loss"]))
     elapsed = time.perf_counter() - t0
     steps_per_sec = args.steps / elapsed
 

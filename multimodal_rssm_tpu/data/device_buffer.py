@@ -1,0 +1,76 @@
+"""HBM-resident replay: the whole dataset lives on device; per-step chunk
+gathers happen inside the jitted train step.
+
+The reference streams every batch host->GPU (memory.py:196: gather on host,
+``.to(device)`` per step — 30-60 MB per optimizer step).  When the dataset
+fits in HBM (COBOTTA-scale demonstration sets are hundreds of MB of uint8),
+the TPU-native layout is to upload it ONCE and feed the step only [n, L]
+int32 index matrices (~10 KB): the gather runs at HBM bandwidth and the
+host<->device link drops out of the steady state entirely.
+
+Falls back transparently: ``DeviceReplay.fits(buffer)`` says whether the
+host buffer's used rows fit the budget; the training loop uses the host
+path (buffer.py + prefetch) otherwise.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class DeviceReplay:
+    """Device-resident view of a loaded host ExperienceReplay."""
+
+    def __init__(self, host_buffer, pad_rows: int = 0):
+        used = host_buffer.idx if not host_buffer.full else host_buffer.size
+        self.host = host_buffer
+        self.used = used
+        self.arrays: Dict[str, jnp.ndarray] = {}
+        for name in host_buffer.observation_names:
+            self.arrays[name] = jnp.asarray(host_buffer.observations[name][:used])
+        self.arrays["__actions__"] = jnp.asarray(host_buffer.actions[:used])
+        self.arrays["__rewards__"] = jnp.asarray(host_buffer.rewards[:used])
+        self.arrays["__nonterminals__"] = jnp.asarray(
+            host_buffer.nonterminals[:used]
+        )
+
+    @staticmethod
+    def nbytes(host_buffer) -> int:
+        used = host_buffer.idx if not host_buffer.full else host_buffer.size
+        total = sum(a[:used].nbytes for a in host_buffer.observations.values())
+        total += host_buffer.actions[:used].nbytes
+        total += host_buffer.rewards[:used].nbytes
+        total += host_buffer.nonterminals[:used].nbytes
+        return total
+
+    @staticmethod
+    def fits(host_buffer, budget_bytes: int = 4 << 30) -> bool:
+        return DeviceReplay.nbytes(host_buffer) <= budget_bytes
+
+    def sample_indices(self, n: int, L: int) -> jnp.ndarray:
+        """Host-side index sampling (same semantics as the host buffer)."""
+        return jnp.asarray(self.host.sample_indices(n, L).astype(np.int32))
+
+
+def gather_batch(
+    arrays: Dict[str, jnp.ndarray], idxs: jnp.ndarray, observation_names
+) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Device-side time-major chunk gather: idxs [n, L] -> batch leaves
+    [L, n, ...].  Runs inside the jitted train step at HBM bandwidth."""
+    flat = idxs.reshape(-1)  # [n*L]
+    n, L = idxs.shape
+
+    def take(arr):
+        g = jnp.take(arr, flat, axis=0)
+        g = g.reshape(n, L, *arr.shape[1:])
+        return jnp.swapaxes(g, 0, 1)
+
+    observations = {name: take(arrays[name]) for name in observation_names}
+    actions = take(arrays["__actions__"])
+    rewards = take(arrays["__rewards__"])
+    nonterminals = take(arrays["__nonterminals__"])
+    return observations, actions, rewards, nonterminals

@@ -59,9 +59,26 @@ def train(cfg, cwd, results_dir, logger, key, mesh=None, progress=True):
     optimizer = tr.build_optimizer(cfg)
     aug_spec = tr.build_aug_spec(D)
     draws = tr.HostAugmentDraws(D, aug_spec, seed=seed)
-    train_step, eval_step = tr.make_train_step(model, cfg, optimizer, aug_spec)
 
     B, L = int(cfg.train.batch_size), int(cfg.train.chunk_size)
+
+    # HBM-resident replay (data/device_buffer.py): "auto" uses it when the
+    # loaded dataset fits the budget and no mesh sharding is requested.
+    from multimodal_rssm_tpu.data.device_buffer import DeviceReplay
+
+    dr_mode = str(cfg.train.get("device_replay", "auto")).lower()
+    use_device_replay = (
+        mesh is None
+        and dr_mode != "false"
+        and (dr_mode == "true" or DeviceReplay.fits(D))
+    )
+    if use_device_replay:
+        dev = DeviceReplay(D)
+        dev_val = DeviceReplay(D_val)
+        train_step, eval_step = tr.make_device_resident_steps(
+            model, cfg, optimizer, aug_spec, D.observation_names)
+    else:
+        train_step, eval_step = tr.make_train_step(model, cfg, optimizer, aug_spec)
 
     # init (or resume) train state
     key, init_key, prep_key = jax.random.split(key, 3)
@@ -107,10 +124,14 @@ def train(cfg, cwd, results_dir, logger, key, mesh=None, progress=True):
     t_start = time.time()
 
     # host-side prefetch: sample + transfer the next batch while the device
-    # computes the current step
+    # computes the current step (host-buffer path only; the device-resident
+    # path ships just index matrices)
     from multimodal_rssm_tpu.train.prefetch import Prefetcher
 
-    prefetcher = Prefetcher(lambda: _device_batch(D.sample(B, L), mesh), depth=2)
+    if use_device_replay:
+        prefetcher = Prefetcher(lambda: dev.sample_indices(B, L), depth=2)
+    else:
+        prefetcher = Prefetcher(lambda: _device_batch(D.sample(B, L), mesh), depth=2)
 
     # optional jax.profiler trace (SURVEY §5: the reference has no tracing)
     profile_dir = cfg.train.get("profile_dir")
@@ -129,8 +150,13 @@ def train(cfg, cwd, results_dir, logger, key, mesh=None, progress=True):
         if profile_dir and itr == profile_window[0]:
             jax.profiler.start_trace(str(profile_dir))
         key, step_key = jax.random.split(key)
-        batch = prefetcher.get()
-        state, metrics = train_step(state, batch, draws.draw(), step_key)
+        if use_device_replay:
+            idxs = prefetcher.get()
+            state, metrics = train_step(state, dev.arrays, idxs,
+                                         draws.draw(), step_key)
+        else:
+            batch = prefetcher.get()
+            state, metrics = train_step(state, batch, draws.draw(), step_key)
         if profile_dir and itr == profile_window[1]:
             jax.block_until_ready(metrics["loss"])
             jax.profiler.stop_trace()
@@ -143,8 +169,13 @@ def train(cfg, cwd, results_dir, logger, key, mesh=None, progress=True):
 
         if itr % val_every == 0:
             key, val_key = jax.random.split(key)
-            vbatch = _device_batch(D_val.sample(B, L), mesh)
-            vmetrics = eval_step(state, vbatch, draws.draw(), val_key)
+            if use_device_replay:
+                vmetrics = eval_step(state, dev_val.arrays,
+                                     dev_val.sample_indices(B, L),
+                                     draws.draw(), val_key)
+            else:
+                vbatch = _device_batch(D_val.sample(B, L), mesh)
+                vmetrics = eval_step(state, vbatch, draws.draw(), val_key)
             logger.log(jax.device_get(vmetrics), itr, "validation")
 
         if itr % ckpt_every == 0:

@@ -413,6 +413,59 @@ def make_train_step(model: WorldModel, cfg, optimizer, aug_spec: AugSpec):
     return train_step, eval_step
 
 
+def make_device_resident_steps(model: WorldModel, cfg, optimizer,
+                               aug_spec: AugSpec, observation_names):
+    """Train/eval steps over an HBM-resident replay (data/device_buffer.py):
+    inputs are the device buffer arrays + [n, L] index matrices; the chunk
+    gather happens on device, so the steady-state host->device traffic is a
+    few KB of indices per step."""
+    from multimodal_rssm_tpu.data.device_buffer import gather_batch
+
+    loss_fn = make_loss_fn(model, cfg)
+    bit_depth = int(cfg.env.bit_depth)
+    obs_names = tuple(observation_names)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, buffer_arrays, idxs, aug_draws, key):
+        observations, actions, rewards, nonterminals = gather_batch(
+            buffer_arrays, idxs, obs_names
+        )
+        key_prep, key_loss = jax.random.split(key)
+        observations = prepare_observations(
+            observations, aug_spec, aug_draws, bit_depth, key_prep
+        )
+        batch = (observations, actions, rewards, nonterminals)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (new_stats, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, batch, key_loss, True
+        )
+        updates, new_opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1, params=new_params,
+            batch_stats=new_stats, opt_state=new_opt_state,
+        )
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    @jax.jit
+    def eval_step(state: TrainState, buffer_arrays, idxs, aug_draws, key):
+        observations, actions, rewards, nonterminals = gather_batch(
+            buffer_arrays, idxs, obs_names
+        )
+        key_prep, key_loss = jax.random.split(key)
+        observations = prepare_observations(
+            observations, aug_spec, aug_draws, bit_depth, key_prep
+        )
+        batch = (observations, actions, rewards, nonterminals)
+        _, (_, metrics) = loss_fn(state.params, state.batch_stats, batch,
+                                  key_loss, False)
+        return metrics
+
+    return train_step, eval_step
+
+
 def init_train_state(
     model: WorldModel, cfg, optimizer, key, example_batch
 ) -> TrainState:

@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Measure train-step throughput for config variants (fresh-batch pattern,
+value-fetch synchronisation — reliable through the remote-TPU tunnel).
+
+    python scripts/sweep_perf.py --variants remat,noremat --steps 20
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+
+VARIANTS = {
+    "remat": [],
+    "noremat": ["rssm.remat=False"],
+    "f32": ["train.use_amp=False"],
+    "b100": ["train.batch_size=100"],
+    "b128": ["train.batch_size=128"],
+    "poe": ["rssm.multimodal_params.fusion_method=PoE"],
+    "nonorm": ["rssm.normalization=None"],
+    "groupnorm": ["rssm.normalization=GroupNorm"],
+}
+
+
+def measure(overrides, steps, episodes=4, ep_len=120):
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_rssm_tpu.core.config import compose
+    from multimodal_rssm_tpu.data.buffer import build_buffer
+    from multimodal_rssm_tpu.data.synthetic import synthetic_episode
+    from multimodal_rssm_tpu.models.world_model import WorldModel
+    from multimodal_rssm_tpu.train import trainer as tr
+
+    cfg = compose(os.path.join(os.path.dirname(__file__), "..", "configs"),
+                  overrides=["train.experience_size=20000"] + overrides)
+    shapes = {
+        "image_horizon": cfg.env.observation_shapes["image_horizon"],
+        "sound": cfg.env.observation_shapes["sound"],
+    }
+    D = build_buffer(cfg)
+    for i in range(episodes):
+        ep = synthetic_episode(ep_len, shapes, cfg.env.action_name,
+                               int(cfg.env.action_size), seed=i)
+        ep["nonterminals"] = 1.0 - np.expand_dims(ep.pop("done"), -1)
+        idx = np.arange(D.idx, D.idx + ep_len)
+        for n in D.observation_names:
+            D.observations[n][idx] = ep[n]
+        D.actions[idx] = ep[cfg.env.action_name]
+        D.rewards[idx] = ep["reward"]
+        D.nonterminals[idx] = ep["nonterminals"]
+        D.idx += ep_len
+        D.steps += ep_len
+        D.episodes += 1
+
+    model = WorldModel.from_config(cfg, dtype=tr.compute_dtype(cfg))
+    optimizer = tr.build_optimizer(cfg)
+    spec = tr.build_aug_spec(D)
+    draws_src = tr.HostAugmentDraws(D, spec)
+    train_step, _ = tr.make_train_step(model, cfg, optimizer, spec)
+    key = jax.random.PRNGKey(0)
+    B, L = int(cfg.train.batch_size), int(cfg.train.chunk_size)
+
+    def device_batch():
+        obs, act, rew, nt = D.sample(B, L)
+        return ({k: jnp.asarray(v) for k, v in obs.items()},
+                jnp.asarray(act), jnp.asarray(rew), jnp.asarray(nt))
+
+    raw = device_batch()
+    prep = tr.prepare_observations(raw[0], spec, draws_src.draw(),
+                                   int(cfg.env.bit_depth), key)
+    state = tr.init_train_state(model, cfg, optimizer, key,
+                                (prep, raw[1], raw[2], raw[3]))
+    for _ in range(3):
+        key, k = jax.random.split(key)
+        state, metrics = train_step(state, device_batch(), draws_src.draw(), k)
+    float(jax.device_get(metrics["loss"]))
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        key, k = jax.random.split(key)
+        state, metrics = train_step(state, device_batch(), draws_src.draw(), k)
+    loss = float(jax.device_get(metrics["loss"]))
+    el = time.perf_counter() - t0
+    frames = B * L
+    return steps / el, 1e3 * el / steps, loss, frames
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--variants", default="remat")
+    parser.add_argument("--steps", type=int, default=20)
+    args = parser.parse_args()
+    for name in args.variants.split(","):
+        sps, ms, loss, frames = measure(VARIANTS[name], args.steps)
+        print(f"{name:10s} {sps:7.2f} steps/s  {ms:7.0f} ms/step  "
+              f"{sps*frames:9.0f} frames/s  loss {loss:.1f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
