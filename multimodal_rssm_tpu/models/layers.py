@@ -156,18 +156,24 @@ class BatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             reduce_axes = tuple(range(x.ndim - 1))
-            xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=reduce_axes)
+            # f32 accumulation without materialising an f32 copy of x
+            mean = jnp.mean(x, axis=reduce_axes, dtype=jnp.float32)
             var = jnp.maximum(
-                jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean), 0.0
+                jnp.mean(jnp.square(x.astype(jnp.float32)), axis=reduce_axes)
+                - jnp.square(mean),
+                0.0,
             )
             if not self.is_initializing():
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * var
 
-        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
-        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-        return y.astype(self.dtype)
+        # coefficient form: y = x * a + b with f32 stats folded into two
+        # per-channel vectors — the big elementwise pass stays in the
+        # compute dtype instead of an f32 round trip through HBM.
+        a = scale.astype(jnp.float32) * jax.lax.rsqrt(var + self.epsilon)
+        b = bias.astype(jnp.float32) - mean * a
+        y = x.astype(self.dtype) * a.astype(self.dtype) + b.astype(self.dtype)
+        return y
 
 
 class InstanceNorm(nn.Module):
@@ -189,7 +195,6 @@ class InstanceNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (features,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (features,), self.param_dtype)
         spatial_axes = tuple(range(1, x.ndim - 1))
-        xf = x.astype(jnp.float32)
 
         if self.track_running_stats:
             ra_mean = self.variable(
@@ -203,9 +208,10 @@ class InstanceNorm(nn.Module):
             mean = ra_mean.value
             var = ra_var.value
         else:
-            mean = jnp.mean(xf, axis=spatial_axes, keepdims=True)
+            mean = jnp.mean(x, axis=spatial_axes, keepdims=True, dtype=jnp.float32)
             var = jnp.maximum(
-                jnp.mean(jnp.square(xf), axis=spatial_axes, keepdims=True)
+                jnp.mean(jnp.square(x.astype(jnp.float32)), axis=spatial_axes,
+                         keepdims=True)
                 - jnp.square(mean),
                 0.0,
             )
@@ -218,9 +224,11 @@ class InstanceNorm(nn.Module):
                     var, axis=batch_axes
                 ).reshape(features)
 
-        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
-        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-        return y.astype(self.dtype)
+        # coefficient form (see BatchNorm): per-(sample,channel) a/b vectors
+        a = scale.astype(jnp.float32) * jax.lax.rsqrt(var + self.epsilon)
+        b = bias.astype(jnp.float32) - mean * a
+        y = x.astype(self.dtype) * a.astype(self.dtype) + b.astype(self.dtype)
+        return y
 
 
 class GroupNorm(nn.GroupNorm):

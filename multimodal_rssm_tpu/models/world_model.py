@@ -62,7 +62,16 @@ class WorldModel(nn.Module):
     expert_dist: str = "q(st|ht,ot)"
     min_std_dev: float = 0.1
     dtype: Dtype = jnp.float32
-    remat: bool = True
+    # True: remat everywhere; False: nowhere; "decoders": decoders only
+    # (encoder activations are small enough to keep; the decoder stacks are
+    # the HBM hogs)
+    remat: Any = True
+
+    def _remat_enc(self):
+        return self.remat is True
+
+    def _remat_dec(self):
+        return self.remat is True or self.remat == "decoders"
 
     def setup(self):
         embedding_sizes = {
@@ -78,7 +87,7 @@ class WorldModel(nn.Module):
                     activation_function=self.activation_function,
                     normalization=self.normalization,
                     dtype=self.dtype,
-                    remat=self.remat,
+                    remat=self._remat_enc(),
                 )
             else:  # q(st|ot): encoder emits (loc, scale) experts directly
                 self.encoder = MultimodalStochasticEncoder(
@@ -91,7 +100,7 @@ class WorldModel(nn.Module):
                     normalization=self.normalization,
                     min_std_dev=self.min_std_dev,
                     dtype=self.dtype,
-                    remat=self.remat,
+                    remat=self._remat_enc(),
                 )
         else:
             # Unimodal RSSM encodes only the first modality
@@ -103,7 +112,7 @@ class WorldModel(nn.Module):
                 activation_function=self.activation_function,
                 normalization=self.normalization,
                 dtype=self.dtype,
-                remat=self.remat,
+                remat=self._remat_enc(),
             )
 
         self.core = RSSMCore(
@@ -136,7 +145,7 @@ class WorldModel(nn.Module):
             activation_function=self.activation_function,
             normalization=self.normalization,
             dtype=self.dtype,
-            remat=self.remat,
+            remat=self._remat_dec(),
         )
         self.reward_model = RewardModel(
             hidden_size=self.hidden_size,
@@ -289,5 +298,5 @@ class WorldModel(nn.Module):
             fusion_method=fusion_method,
             expert_dist=expert_dist,
             dtype=dtype,
-            remat=bool(rssm.get("remat", True)),
+            remat=rssm.get("remat", True),
         )
