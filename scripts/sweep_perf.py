@@ -62,7 +62,6 @@ def measure(overrides, steps, episodes=4, ep_len=120):
     optimizer = tr.build_optimizer(cfg)
     spec = tr.build_aug_spec(D)
     draws_src = tr.HostAugmentDraws(D, spec)
-    train_step, _ = tr.make_train_step(model, cfg, optimizer, spec)
     key = jax.random.PRNGKey(0)
     B, L = int(cfg.train.batch_size), int(cfg.train.chunk_size)
 
@@ -76,15 +75,26 @@ def measure(overrides, steps, episodes=4, ep_len=120):
                                    int(cfg.env.bit_depth), key)
     state = tr.init_train_state(model, cfg, optimizer, key,
                                 (prep, raw[1], raw[2], raw[3]))
+
+    from multimodal_rssm_tpu.data.device_buffer import DeviceReplay
+
+    dev = DeviceReplay(D)
+    train_step, _ = tr.make_device_resident_steps(model, cfg, optimizer, spec,
+                                                  D.observation_names)
+
+    def run_step(state, k):
+        return train_step(state, dev.arrays, dev.sample_indices(B, L),
+                          draws_src.draw(), k)
+
     for _ in range(3):
         key, k = jax.random.split(key)
-        state, metrics = train_step(state, device_batch(), draws_src.draw(), k)
+        state, metrics = run_step(state, k)
     float(jax.device_get(metrics["loss"]))
 
     t0 = time.perf_counter()
     for _ in range(steps):
         key, k = jax.random.split(key)
-        state, metrics = train_step(state, device_batch(), draws_src.draw(), k)
+        state, metrics = run_step(state, k)
     loss = float(jax.device_get(metrics["loss"]))
     el = time.perf_counter() - t0
     frames = B * L
