@@ -395,6 +395,10 @@ def make_train_step(model: WorldModel, cfg, optimizer, aug_spec: AugSpec):
             opt_state=new_opt_state,
         )
         metrics["grad_norm"] = optax.global_norm(grads)
+        # per-module gradient norms (the reference's wandb.watch analogue,
+        # RSSM/algo.py:39-43) — cheap scalars, logged with the step metrics
+        for mod, sub in grads.items():
+            metrics[f"grad_norm_{mod}"] = optax.global_norm(sub)
         return new_state, metrics
 
     @jax.jit
@@ -447,6 +451,8 @@ def make_device_resident_steps(model: WorldModel, cfg, optimizer,
             batch_stats=new_stats, opt_state=new_opt_state,
         )
         metrics["grad_norm"] = optax.global_norm(grads)
+        for mod, sub in grads.items():
+            metrics[f"grad_norm_{mod}"] = optax.global_norm(sub)
         return new_state, metrics
 
     @jax.jit
