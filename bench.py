@@ -35,6 +35,9 @@ def main():
     parser.add_argument("--small", action="store_true")
     parser.add_argument("--episodes", type=int, default=4)
     parser.add_argument("--episode-length", type=int, default=120)
+    parser.add_argument("--override", action="append", default=[],
+                        help="extra config overrides (repeatable), e.g. "
+                             "--override rssm.remat=false")
     args = parser.parse_args()
 
     import jax
@@ -64,6 +67,7 @@ def main():
             "rssm.embedding_size.fusion=64", "rssm.embedding_size.other=16",
             "train.use_amp=False",
         ]
+    overrides += list(args.override)
     cfg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs")
     cfg = compose(cfg_dir, overrides=overrides)
 

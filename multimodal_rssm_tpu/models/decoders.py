@@ -34,18 +34,29 @@ from multimodal_rssm_tpu.models.layers import (
     InstanceNorm,
     act_fn,
     glu,
+    tag_conv_out,
 )
 from multimodal_rssm_tpu.ops import gaussian
 
 Dtype = Any
 
 
-def _maybe_remat(cls, remat: bool):
+def _maybe_remat(cls, remat):
     """nn.remat a decoder class (``train`` is static arg index 3 of the
     lifted (h, s, train) __call__) — backward recomputes the ConvTranspose
     stacks instead of storing their activations; the sound decoder's
-    intermediates alone are several GB at reference batch sizes."""
-    return nn.remat(cls, static_argnums=(3,)) if remat else cls
+    intermediates alone are several GB at reference batch sizes.
+
+    ``remat == "conv"``: keep the tagged conv/matmul outputs, recompute only
+    the norm/GLU/activation tail (see encoders._maybe_remat)."""
+    if not remat:
+        return cls
+    policy = None
+    if remat == "conv":
+        import jax
+
+        policy = jax.checkpoint_policies.save_only_these_names("conv_out")
+    return nn.remat(cls, static_argnums=(3,), policy=policy)
 
 
 def _fold(h: jnp.ndarray, s: jnp.ndarray) -> Tuple[jnp.ndarray, int, int]:
@@ -281,7 +292,7 @@ class PackedSingleChannelConv(nn.Module):
             bias = self.param("bias", nn.initializers.zeros, (1,),
                               self.param_dtype)
             y = y + bias.astype(self.dtype)
-        return y
+        return tag_conv_out(y)
 
 
 class SoundDecoderV2(DecoderBase):

@@ -31,12 +31,24 @@ from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-def _maybe_remat(cls, remat: bool):
+def _maybe_remat(cls, remat):
     """Wrap an encoder class in nn.remat (activation rematerialisation):
     backward recomputes the conv stack instead of keeping its activations —
     the HBM-for-FLOPs trade that fits reference-scale batches on a chip
-    (``train`` is static arg index 2 of the lifted __call__)."""
-    return nn.remat(cls, static_argnums=(2,)) if remat else cls
+    (``train`` is static arg index 2 of the lifted __call__).
+
+    ``remat == "conv"``: save the tagged conv/matmul outputs
+    (layers.tag_conv_out) and recompute only the cheap elementwise tail —
+    most of the memory saving at a fraction of the recompute FLOPs.
+    """
+    if not remat:
+        return cls
+    policy = None
+    if remat == "conv":
+        import jax
+
+        policy = jax.checkpoint_policies.save_only_these_names("conv_out")
+    return nn.remat(cls, static_argnums=(2,), policy=policy)
 
 
 from multimodal_rssm_tpu.models.layers import (

@@ -15,10 +15,12 @@ torch.cuda.amp autocast (algos/MRSSM/base/algo.py:31,273).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence, Tuple
+import os
+from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 Dtype = Any
@@ -59,11 +61,28 @@ class Dense(nn.Dense):
     param_dtype: Dtype = jnp.float32
 
 
+def tag_conv_out(y: jnp.ndarray) -> jnp.ndarray:
+    """Mark a conv/matmul output as a rematerialisation save point.
+
+    Under the ``remat: conv`` policy (models/world_model.py) the backward
+    pass keeps these (the expensive MXU results) and recomputes only the
+    cheap elementwise tail (norm / GLU / activation) — most of the memory
+    saving of full remat at a fraction of its recompute FLOPs.
+    """
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(y, "conv_out")
+
+
 class Conv(nn.Conv):
     """NHWC conv; ``padding`` accepts torch-style ints/pairs via
     ``torch_padding`` helper below."""
 
     param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return tag_conv_out(super().__call__(x))
 
 
 def torch_padding(p) -> Sequence[Tuple[int, int]]:
@@ -73,16 +92,112 @@ def torch_padding(p) -> Sequence[Tuple[int, int]]:
     return [(int(a), int(a)) for a in p]
 
 
+def _phase_taps_1d(k_len: int, s: int, p: int):
+    """Per-output-phase tap indices for one spatial dim of a transposed conv.
+
+    A stride-``s`` ConvTranspose output splits into ``s`` interleaved phases
+    ``y[s*j + r]``; each phase is an ordinary stride-1 correlation of the
+    input with the tap subset ``t = s*e + (r+p) % s`` at input offset
+    ``(r+p)//s``.  Returns ``(F, omax, taps, valid)`` where ``taps[r][f]``
+    indexes the original kernel (clipped) and ``valid[r][f]`` masks
+    positions outside the subset, aligned into a common window of extent
+    ``F`` so all phases share one dense conv.
+    """
+    qs = [(r + p) % s for r in range(s)]
+    os_ = [(r + p) // s for r in range(s)]
+    counts = [len(range(q, k_len, s)) for q in qs]
+    E = max(counts)
+    omax, omin = max(os_), min(os_)
+    F = E + (omax - omin)
+    taps = np.zeros((s, F), np.int32)
+    valid = np.zeros((s, F), np.float32)
+    for r in range(s):
+        shift = omax - os_[r]
+        for e in range(counts[r]):
+            taps[r, e + shift] = s * e + qs[r]
+            valid[r, e + shift] = 1.0
+    return F, omax, taps, valid
+
+
+def phased_conv_transpose(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    strides: Tuple[int, int],
+    padding: Tuple[int, int],
+) -> jnp.ndarray:
+    """ConvTranspose2d as a dense stride-1 conv + depth-to-space.
+
+    The standard ``lhs_dilation`` formulation makes XLA:TPU compute 4x
+    zero taps for stride 2 and — worse — lowers its kernel gradient to a
+    convolution over spatially-REVERSED activations plus layout copies
+    (profiled at ~20% of the whole train step on the sound decoder's
+    tensors).  Phase decomposition reindexes the same math exactly: each of
+    the ``sh*sw`` output phases is a stride-1 correlation with a tap subset
+    of the kernel, all phases share one dense conv whose output channels are
+    ``(rh, rw, O)``, un-interleaved by a reshape/transpose.  Standard conv
+    => standard (efficient) dgrad/wgrad; validated bit-close against the
+    dilated form for every ConvTranspose config in the repo.
+    """
+    N, H, W, C = x.shape
+    kh, kw, _, O = kernel.shape
+    sh, sw = strides
+    ph, pw = padding
+    if sh == 1 and sw == 1:
+        kf = jnp.flip(kernel, axis=(0, 1))
+        pad = [(kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)]
+        return jax.lax.conv_general_dilated(
+            x, kf, (1, 1), pad, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    Hout = (H - 1) * sh - 2 * ph + kh
+    Wout = (W - 1) * sw - 2 * pw + kw
+    Fh, omax_h, taps_h, valid_h = _phase_taps_1d(kh, sh, ph)
+    Fw, omax_w, taps_w, valid_w = _phase_taps_1d(kw, sw, pw)
+
+    # big kernel [Fh, Fw, C, sh*sw*O]; correlation index flip folded into
+    # the gather (W[f] = G[F-1-f])
+    th = taps_h[:, ::-1]            # [sh, Fh] flipped
+    vh = valid_h[:, ::-1]
+    tw = taps_w[:, ::-1]            # [sw, Fw]
+    vw = valid_w[:, ::-1]
+    # kb6[fh, fw, rh, rw, c, o] = k[th[rh, fh], tw[rw, fw], c, o] * v
+    kb6 = kernel[th.T[:, None, :, None], tw.T[None, :, None, :], :, :]
+    mask = (vh.T[:, None, :, None] * vw.T[None, :, None, :])
+    kb6 = kb6 * mask[..., None, None].astype(kernel.dtype)
+    kb = jnp.transpose(kb6, (0, 1, 4, 2, 3, 5)).reshape(
+        Fh, Fw, C, sh * sw * O)
+
+    Jh = (Hout + sh - 1) // sh
+    Jw = (Wout + sw - 1) // sw
+    pad_lo_h = Fh - 1 - omax_h
+    pad_hi_h = max(0, (Jh - 1) + omax_h + 1 - H)
+    pad_lo_w = Fw - 1 - omax_w
+    pad_hi_w = max(0, (Jw - 1) + omax_w + 1 - W)
+    y2 = jax.lax.conv_general_dilated(
+        x, kb, (1, 1), [(pad_lo_h, pad_hi_h), (pad_lo_w, pad_hi_w)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y2 = y2[:, :Jh, :Jw, :]
+    y = y2.reshape(N, Jh, Jw, sh, sw, O).transpose(0, 1, 3, 2, 4, 5)
+    y = y.reshape(N, Jh * sh, Jw * sw, O)
+    return y[:, :Hout, :Wout, :]
+
+
 class ConvTranspose(nn.Module):
     """Transposed conv matching torch.nn.ConvTranspose2d semantics.
 
     output_size = (in - 1) * stride - 2 * padding + kernel.
 
-    Implemented as input-dilated correlation with a spatially-flipped kernel
-    and padding ``k - 1 - p`` — the exact gradient-of-conv formulation torch
-    uses (verified numerically against torch to ~1e-7 with full precision).
-    Kernel parameter layout is (kh, kw, in_features, features); the importer
-    maps torch's (Cin, Cout, kh, kw) via transpose(2, 3, 0, 1).
+    Two exact implementations (equal to torch to ~1e-7 in full precision):
+
+    - ``impl="phased"`` (default): dense stride-1 conv over a
+      phase-decomposed kernel + depth-to-space (``phased_conv_transpose``)
+      — avoids ``lhs_dilation``, whose TPU kernel-gradient lowers to
+      reversed-activation convolutions and layout copies (~20% of the
+      train step when profiled);
+    - ``impl="dilated"``: input-dilated correlation with a spatially
+      flipped kernel and padding ``k - 1 - p`` — the gradient-of-conv
+      formulation torch uses.
+
+    Kernel parameter layout is (kh, kw, in_features, features) for both;
+    the importer maps torch's (Cin, Cout, kh, kw) via transpose(2, 3, 0, 1).
     """
 
     features: int
@@ -92,6 +207,7 @@ class ConvTranspose(nn.Module):
     use_bias: bool = True
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    impl: Optional[str] = None   # None -> $RSSM_CONVT_IMPL or "phased"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -103,25 +219,31 @@ class ConvTranspose(nn.Module):
             (kh, kw, in_features, self.features),
             self.param_dtype,
         )
-        kernel = jnp.flip(kernel, axis=(0, 1))
-        pad = [
-            (kh - 1 - self.padding[0], kh - 1 - self.padding[0]),
-            (kw - 1 - self.padding[1], kw - 1 - self.padding[1]),
-        ]
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            window_strides=(1, 1),
-            padding=pad,
-            lhs_dilation=self.strides,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        impl = self.impl or os.environ.get("RSSM_CONVT_IMPL", "phased")
+        if impl == "phased":
+            y = phased_conv_transpose(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                self.strides, self.padding)
+        else:
+            kf = jnp.flip(kernel, axis=(0, 1)).astype(self.dtype)
+            pad = [
+                (kh - 1 - self.padding[0], kh - 1 - self.padding[0]),
+                (kw - 1 - self.padding[1], kw - 1 - self.padding[1]),
+            ]
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kf,
+                window_strides=(1, 1),
+                padding=pad,
+                lhs_dilation=self.strides,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,), self.param_dtype
             )
             y = y + bias.astype(self.dtype)
-        return y
+        return tag_conv_out(y)
 
 
 class BatchNorm(nn.Module):

@@ -62,15 +62,22 @@ class WorldModel(nn.Module):
     expert_dist: str = "q(st|ht,ot)"
     min_std_dev: float = 0.1
     dtype: Dtype = jnp.float32
-    # True: remat everywhere; False: nowhere; "decoders": decoders only
-    # (encoder activations are small enough to keep; the decoder stacks are
-    # the HBM hogs)
+    # True: full remat everywhere; False: nowhere; "decoders": decoders
+    # only (encoder activations are small enough to keep; the decoder
+    # stacks are the HBM hogs); "conv": remat everywhere but SAVE the
+    # tagged conv/matmul outputs and recompute only the cheap elementwise
+    # tail (norm/GLU/activation) — most of the memory saving at a fraction
+    # of the recompute FLOPs (see layers.tag_conv_out)
     remat: Any = True
 
     def _remat_enc(self):
+        if self.remat == "conv":
+            return "conv"
         return self.remat is True
 
     def _remat_dec(self):
+        if self.remat in ("conv", "decoders_conv"):
+            return "conv"
         return self.remat is True or self.remat == "decoders"
 
     def setup(self):
@@ -298,5 +305,15 @@ class WorldModel(nn.Module):
             fusion_method=fusion_method,
             expert_dist=expert_dist,
             dtype=dtype,
-            remat=rssm.get("remat", True),
+            remat=_check_remat(rssm.get("remat", True)),
         )
+
+
+_REMAT_VALUES = (True, False, "decoders", "conv", "decoders_conv")
+
+
+def _check_remat(value):
+    if value not in _REMAT_VALUES:
+        raise ValueError(
+            f"rssm.remat={value!r} is not one of {_REMAT_VALUES}")
+    return value

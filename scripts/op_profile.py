@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Op-level attribution of the training step: capture a jax.profiler trace
+on the current backend and print the top HLO ops by self time.
+
+    python scripts/op_profile.py [--batch-size 50 --chunk-size 50]
+        [--override rssm.remat=false] [--top 30]
+
+Complements scripts/profile_step.py (phase-level timing) with per-fusion
+attribution so kernel work targets the real hotspots.
+"""
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch-size", type=int, default=50)
+    parser.add_argument("--chunk-size", type=int, default=50)
+    parser.add_argument("--top", type=int, default=30)
+    parser.add_argument("--steps", type=int, default=5)
+    parser.add_argument("--override", action="append", default=[])
+    parser.add_argument("--trace-dir", default="/tmp/rssm_trace")
+    args = parser.parse_args()
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from multimodal_rssm_tpu.core.config import compose
+    from multimodal_rssm_tpu.models.world_model import WorldModel
+    from multimodal_rssm_tpu.train import trainer as tr
+
+    overrides = [
+        f"train.batch_size={args.batch_size}",
+        f"train.chunk_size={args.chunk_size}",
+    ] + list(args.override)
+    cfg = compose(os.path.join(os.path.dirname(__file__), "..", "configs"),
+                  overrides=overrides)
+
+    import __graft_entry__ as ge
+
+    L, B = int(cfg.train.chunk_size), int(cfg.train.batch_size)
+    raw = ge._synthetic_batch(cfg, L, B)
+    model = WorldModel.from_config(cfg, dtype=tr.compute_dtype(cfg))
+    optimizer = tr.build_optimizer(cfg)
+
+    mods = []
+    for name in raw[0]:
+        if "image" in name:
+            hw = tuple(raw[0][name].shape[2:4])
+            mods.append((name, tr.ModalityAugSpec(
+                out_size=hw, needs_crop=False, noise=False, pca=False,
+                normalize=True)))
+    spec = tr.AugSpec(modalities=tuple(mods))
+    draws = {name: {} for name, _ in spec.modalities}
+    key = jax.random.PRNGKey(0)
+
+    prep = tr.prepare_observations(raw[0], spec, draws, int(cfg.env.bit_depth), key)
+    state = tr.init_train_state(model, cfg, optimizer, key,
+                                (prep, raw[1], raw[2], raw[3]))
+    train_step, _ = tr.make_train_step(model, cfg, optimizer, spec)
+
+    for _ in range(3):
+        state, m = train_step(state, raw, draws, key)
+    float(jax.device_get(m["loss"]))
+
+    os.makedirs(args.trace_dir, exist_ok=True)
+    with jax.profiler.trace(args.trace_dir):
+        for _ in range(args.steps):
+            state, m = train_step(state, raw, draws, key)
+        float(jax.device_get(m["loss"]))
+
+    # ---- parse the trace: sum durations per op name on device lines ----
+    paths = glob.glob(os.path.join(
+        args.trace_dir, "plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        print("no trace found under", args.trace_dir)
+        return
+    path = max(paths, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+
+    # device PIDs: process_name metadata containing "TPU" / "/device:"
+    device_pids = set()
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            n = e.get("args", {}).get("name", "")
+            if "TPU" in n or "/device:" in n or "Device" in n:
+                device_pids.add(e["pid"])
+
+    tot = collections.Counter()
+    cnt = collections.Counter()
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        dur = e.get("dur", 0)  # us
+        name = e.get("name", "?")
+        tot[name] += dur
+        cnt[name] += 1
+        total += dur
+
+    print(f"trace: {path}")
+    print(f"total device time: {total/1e3:.1f} ms over {args.steps} steps "
+          f"-> {total/1e3/args.steps:.1f} ms/step")
+    print(f"{'self_ms/step':>12s} {'%':>6s} {'count':>6s}  op")
+    for name, us in tot.most_common(args.top):
+        print(f"{us/1e3/args.steps:12.3f} {100*us/total:6.2f} {cnt[name]:6d}  {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()
