@@ -184,3 +184,103 @@ def test_config_compose_and_overrides(tmp_path):
     cfg2 = load_run_config(str(tmp_path))
     assert cfg2.rssm.belief_size == 7
     assert cfg2.env.observation_shapes.sound == [128, 20]
+
+
+# -- ConvTranspose implementations ---------------------------------------
+
+
+@pytest.mark.parametrize(
+    "shape,kernel,strides,padding",
+    [
+        ((2, 5, 5, 16), (5, 5), (2, 2), (0, 0)),      # image decoder stage
+        ((2, 32, 4, 24), (4, 4), (2, 2), (1, 1)),     # sound v2 up-sample
+        ((2, 10, 5, 8), (5, 5), (3, 1), (1, 2)),      # sound v1 stride (3,1)
+        ((2, 6, 6, 12), (3, 4), (1, 1), (1, 1)),      # stride-1 fallback
+    ],
+)
+def test_phased_conv_transpose_matches_dilated(rng, shape, kernel, strides,
+                                               padding):
+    """The phase-decomposed ConvTranspose (dense conv + depth-to-space,
+    layers.phased_conv_transpose) is the exact same math as the
+    input-dilated formulation — fwd and grads (see layers.py docstring for
+    why the phased form is the TPU default)."""
+    from multimodal_rssm_tpu.models.layers import phased_conv_transpose
+
+    kh, kw = kernel
+    C, O = shape[-1], 20
+    x = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (kh, kw, C, O), jnp.float32)
+    k = k / (kh * kw)
+
+    def dilated(x, k):
+        kf = jnp.flip(k, axis=(0, 1))
+        pad = [(kh - 1 - padding[0],) * 2, (kw - 1 - padding[1],) * 2]
+        return jax.lax.conv_general_dilated(
+            x, kf, (1, 1), pad, lhs_dilation=strides,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    a = dilated(x, k)
+    b = phased_conv_transpose(x, k, strides, padding)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    ga = jax.grad(lambda x, k: jnp.sum(jnp.sin(dilated(x, k))), (0, 1))(x, k)
+    gb = jax.grad(
+        lambda x, k: jnp.sum(jnp.sin(phased_conv_transpose(x, k, strides,
+                                                           padding))),
+        (0, 1))(x, k)
+    for u, v in zip(ga, gb):
+        # accumulation order differs between the formulations -> ~3e-5 f32
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=2e-4)
+
+
+def test_remat_config_validated():
+    """Invalid rssm.remat values fail fast (not silently remat-off)."""
+    from multimodal_rssm_tpu.models.world_model import _check_remat
+
+    for ok in (True, False, "decoders", "conv", "decoders_conv"):
+        assert _check_remat(ok) == ok
+    with pytest.raises(ValueError, match="bogus"):
+        _check_remat("bogus")
+
+
+@pytest.mark.parametrize(
+    "shape,kernel,strides,padding",
+    [
+        ((2, 5, 5, 16), (5, 5), (2, 2), (0, 0)),
+        ((2, 32, 4, 24), (4, 4), (2, 2), (1, 1)),
+        ((2, 10, 5, 8), (5, 5), (3, 1), (1, 2)),
+        ((2, 6, 6, 12), (3, 4), (1, 1), (1, 1)),
+    ],
+)
+def test_conv_transpose_custom_vjp_matches_autodiff(rng, shape, kernel,
+                                                    strides, padding):
+    """The hand-written ConvTranspose VJP (plain-strided-conv dgrad +
+    batch-contracting wgrad, layers.conv_transpose_vjp — the default impl)
+    equals jax autodiff of the dilated formulation."""
+    from multimodal_rssm_tpu.models.layers import conv_transpose_vjp
+
+    kh, kw = kernel
+    C, O = shape[-1], 20
+    x = jax.random.normal(jax.random.PRNGKey(2), shape, jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(3), (kh, kw, C, O), jnp.float32)
+    k = k / (kh * kw)
+
+    def dilated(x, k):
+        kf = jnp.flip(k, axis=(0, 1))
+        pad = [(kh - 1 - padding[0],) * 2, (kw - 1 - padding[1],) * 2]
+        return jax.lax.conv_general_dilated(
+            x, kf, (1, 1), pad, lhs_dilation=strides,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    a = dilated(x, k)
+    b = conv_transpose_vjp(x, k, strides, padding)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    ga = jax.grad(lambda x, k: jnp.sum(jnp.sin(dilated(x, k))), (0, 1))(x, k)
+    gb = jax.grad(
+        lambda x, k: jnp.sum(jnp.sin(conv_transpose_vjp(x, k, strides,
+                                                        padding))),
+        (0, 1))(x, k)
+    for u, v in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=2e-4)
