@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -225,6 +226,63 @@ class SoundEncoder(nn.Module):
         return x
 
 
+class PackedWidthConv(nn.Module):
+    """Stride-1 conv over a 1-input-channel image, width packed into
+    channels (input-side analogue of decoders.PackedSingleChannelConv).
+
+    A C_in=1 conv gives the MXU a contraction dim of kh*kw (27 here).
+    Reshaping [N, H, W, 1] -> [N, H, 1, W] and banding the kernel —
+    big[a, 0, w_in, (w_out, o)] = k[a, w_in - w_out + pw, 0, o] inside the
+    band — makes it a dense conv with contraction dim kh*W and a plain
+    (N·H)-contracting wgrad.  Bit-identical math; parameter stays
+    (kh, kw, 1, O) so reference checkpoints import unchanged.  Measured
+    net-neutral end to end at reference scale (the step is not bound by
+    this op); kept for the denser MXU shape and cleaner profile.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    padding: Tuple[int, int]
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from multimodal_rssm_tpu.models.layers import tag_conv_out
+
+        N, H, W, C = x.shape
+        assert C == 1, "PackedWidthConv requires a single input channel"
+        kh, kw = self.kernel_size
+        ph, pw = self.padding
+        O = self.features
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (kh, kw, 1, O),
+            self.param_dtype,
+        )
+        # y[n, h, w_out, o] = sum_{a, b} x[n, h + a - ph, w_out + b - pw]
+        #                     * k[a, b, 0, o];  b = w_in - w_out + pw
+        w_in = jnp.arange(W)[:, None]
+        w_out = jnp.arange(W)[None, :]
+        b = w_in - w_out + pw                               # [W_in, W_out]
+        valid = (b >= 0) & (b < kw)
+        kd = kernel[:, :, 0, :].astype(self.dtype)          # [kh, kw, O]
+        big = kd[:, jnp.clip(b, 0, kw - 1), :]              # [kh, Wi, Wo, O]
+        big = jnp.where(valid[None, :, :, None], big, 0.0)
+        big = big.reshape(kh, 1, W, W * O)                  # HWIO, I=W
+        xr = x.astype(self.dtype).reshape(N, H, 1, W)
+        y = jax.lax.conv_general_dilated(
+            xr, big, (1, 1), [(ph, ph), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )                                                   # [N, H, 1, W*O]
+        y = y.reshape(N, H, W, O)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (O,),
+                              self.param_dtype)
+            y = y + bias.astype(self.dtype)
+        return tag_conv_out(y)
+
+
 class SoundEncoderV2(nn.Module):
     """StarGAN-VC2-style GLU down-sampling sound encoder (ref :661-721).
 
@@ -243,9 +301,10 @@ class SoundEncoderV2(nn.Module):
         cb = self.channels_base
         x = x[..., None].astype(self.dtype)  # [B, 128, 20, 1]
 
-        # down_sample_1: conv -> GLU (no norm)
-        x = Conv(cb, (3, 9), strides=(1, 1), padding=torch_padding((1, 4)),
-                 use_bias=False, dtype=self.dtype, name="down1_conv")(x)
+        # down_sample_1: conv -> GLU (no norm); width-packed formulation
+        # (C_in=1 — see PackedWidthConv)
+        x = PackedWidthConv(cb, (3, 9), (1, 4), use_bias=False,
+                            dtype=self.dtype, name="down1_conv")(x)
         x = glu(x, axis=-1)
         # down_sample_2..4: conv -> InstanceNorm -> GLU
         for i, (features, kernel, stride, pad) in enumerate(
