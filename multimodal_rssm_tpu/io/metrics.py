@@ -16,6 +16,12 @@ import time
 from typing import Dict, Mapping, Optional
 
 
+def _tree_leaves(tree):
+    import jax
+
+    return jax.tree_util.tree_leaves(tree)
+
+
 class MetricLogger:
     def __init__(self, results_dir: str, use_wandb: bool = False,
                  wandb_kwargs: Optional[dict] = None):
@@ -47,6 +53,37 @@ class MetricLogger:
                 {k: v for k, v in rec.items() if k not in ("step", "time")},
                 step=step,
             )
+
+    def log_histograms(self, tree, step: int, prefix: str = "params") -> None:
+        """Per-module histogram summaries — the ``wandb.watch`` analogue
+        (ref RSSM/algo.py:39-43 registers gradient/parameter histograms on
+        every module).  For each top-level module of ``tree`` (params or
+        grads pytree) logs count/min/max/mean/std plus a fixed 16-bin
+        histogram, as JSON (and ``wandb.Histogram`` when wandb is active).
+        """
+        import numpy as np
+
+        rec: Dict[str, object] = {"step": int(step), "time": time.time()}
+        wandb_rec = {}
+        for mod, sub in dict(tree).items():
+            leaves = [np.asarray(l).ravel() for l in _tree_leaves(sub)]
+            if not leaves:
+                continue
+            flat = np.concatenate([l.astype(np.float32) for l in leaves])
+            counts, edges = np.histogram(flat, bins=16)
+            rec[f"{prefix}_{mod}/hist"] = {
+                "count": int(flat.size),
+                "min": float(flat.min()), "max": float(flat.max()),
+                "mean": float(flat.mean()), "std": float(flat.std()),
+                "bin_counts": counts.tolist(),
+                "bin_edges": [float(e) for e in edges],
+            }
+            if self._wandb is not None:
+                wandb_rec[f"{prefix}_{mod}/hist"] = (
+                    self._wandb.Histogram(np_histogram=(counts, edges)))
+        self._f.write(json.dumps(rec) + "\n")
+        if self._wandb is not None and wandb_rec:
+            self._wandb.log(wandb_rec, step=step)
 
     def log_frame_count(self, step: int, batch_size: int, chunk_size: int) -> None:
         """``frame`` counter (ref base/algo.py:265-266)."""

@@ -118,6 +118,9 @@ def train(cfg, cwd, results_dir, logger, key, mesh=None, progress=True):
     total = int(cfg.train.train_iteration)
     val_every = int(cfg.train.validation_interval)
     ckpt_every = int(cfg.train.checkpoint_interval)
+    hist_every = int(cfg.train.get("histogram_interval", 0) or 0)
+    grad_only_fn = (tr.make_grad_fn(model, cfg, aug_spec)
+                    if hist_every else None)
 
     pending_metrics = None
     pending_step = None
@@ -177,6 +180,23 @@ def train(cfg, cwd, results_dir, logger, key, mesh=None, progress=True):
                 vbatch = _device_batch(D_val.sample(B, L), mesh)
                 vmetrics = eval_step(state, vbatch, draws.draw(), val_key)
             logger.log(jax.device_get(vmetrics), itr, "validation")
+
+        if hist_every and itr % hist_every == 0:
+            # wandb.watch analogue (ref RSSM/algo.py:39-43): per-module
+            # parameter + gradient histograms.  One extra fwd+bwd per
+            # interval (default every 1000 steps — ~0.1% overhead).
+            key, hist_key = jax.random.split(key)
+            if use_device_replay:
+                from multimodal_rssm_tpu.data.device_buffer import gather_batch
+
+                hobs, hact, hrew, hnt = gather_batch(
+                    dev.arrays, dev.sample_indices(B, L), D.observation_names)
+                hbatch = (hobs, hact, hrew, hnt)
+            else:
+                hbatch = _device_batch(D.sample(B, L), mesh)
+            grads = grad_only_fn(state, hbatch, draws.draw(), hist_key)
+            logger.log_histograms(jax.device_get(state.params), itr, "params")
+            logger.log_histograms(jax.device_get(grads), itr, "grads")
 
         if itr % ckpt_every == 0:
             ckpt.save_checkpoint(

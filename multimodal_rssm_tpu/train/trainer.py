@@ -417,6 +417,28 @@ def make_train_step(model: WorldModel, cfg, optimizer, aug_spec: AugSpec):
     return train_step, eval_step
 
 
+def make_grad_fn(model: WorldModel, cfg, aug_spec: AugSpec):
+    """Gradients-only step (no optimizer update) for the ``wandb.watch``
+    histogram analogue (train.histogram_interval): same input pipeline and
+    loss as the train step, returns the raw gradient pytree."""
+    loss_fn = make_loss_fn(model, cfg)
+    bit_depth = int(cfg.env.bit_depth)
+
+    @jax.jit
+    def grad_fn(state: TrainState, raw_batch, aug_draws, key):
+        observations, actions, rewards, nonterminals = raw_batch
+        key_prep, key_loss = jax.random.split(key)
+        observations = prepare_observations(
+            observations, aug_spec, aug_draws, bit_depth, key_prep
+        )
+        batch = (observations, actions, rewards, nonterminals)
+        return jax.grad(
+            lambda p: loss_fn(p, state.batch_stats, batch, key_loss, True)[0]
+        )(state.params)
+
+    return grad_fn
+
+
 def make_device_resident_steps(model: WorldModel, cfg, optimizer,
                                aug_spec: AugSpec, observation_names):
     """Train/eval steps over an HBM-resident replay (data/device_buffer.py):

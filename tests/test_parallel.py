@@ -121,3 +121,43 @@ def test_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_global_batch_from_local(dp_setup):
+    """Multi-host feed API (parallel/feed.py): on one process the global
+    array equals the local batch, sharded over the data axis; the sharded
+    train step consumes it directly."""
+    import numpy as np
+    from multimodal_rssm_tpu.parallel.feed import global_batch_from_local
+
+    cfg, model, train_step, state, raw, draws, key = dp_setup
+    mesh = mesh_lib.create_mesh()
+    host_batch = jax.tree_util.tree_map(np.asarray, raw)
+    gbatch = global_batch_from_local(mesh, host_batch, batch_dim=1)
+
+    leaf = jax.tree_util.tree_leaves(gbatch)[0]
+    assert leaf.sharding.spec[1] == mesh_lib.DATA_AXIS
+    np.testing.assert_array_equal(
+        np.asarray(leaf), np.asarray(jax.tree_util.tree_leaves(raw)[0]))
+
+    state2, metrics = train_step(
+        jax.tree_util.tree_map(jnp.copy, state), gbatch, draws, key)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_histogram_logging(tmp_path):
+    """log_histograms writes per-module histogram summaries (wandb.watch
+    analogue) to the JSONL record."""
+    import json
+    from multimodal_rssm_tpu.io.metrics import MetricLogger
+
+    logger = MetricLogger(str(tmp_path))
+    tree = {"core": {"w": jnp.arange(6.0), "b": jnp.zeros(3)},
+            "encoder": {"k": jnp.ones((2, 2))}}
+    logger.log_histograms(tree, step=7, prefix="grads")
+    logger.finish()
+    rec = json.loads(open(logger.path).read().strip())
+    assert rec["step"] == 7
+    h = rec["grads_core/hist"]
+    assert h["count"] == 9 and len(h["bin_counts"]) == 16
+    assert rec["grads_encoder/hist"]["count"] == 4
