@@ -207,4 +207,12 @@ def load_dataset(cfg, cwd: str, buffer: ExperienceReplay, dataset_path) -> None:
         full = os.path.join(cwd, p)
         if not os.path.exists(full):
             raise FileNotFoundError(f"{full} does not exist")
+        if os.path.isfile(full):
+            # The reference's file branch (memory.py:20-22) calls
+            # D.convert_dataset, which does not exist anywhere in that
+            # codebase — a dead path that would crash.  Fail loudly here.
+            raise NotImplementedError(
+                f"{full} is a file; single-file buffer dumps are a dead "
+                "path in the reference (memory.py:20-22 calls the "
+                "nonexistent convert_dataset) — pass an episode directory")
         buffer.load_dataset(full)
