@@ -21,6 +21,9 @@ VARIANTS = {
     "f32": ["train.use_amp=False"],
     "b100": ["train.batch_size=100"],
     "b128": ["train.batch_size=128"],
+    "b100_conv": ["train.batch_size=100", "rssm.remat=decoders_conv"],
+    "b128_conv": ["train.batch_size=128", "rssm.remat=decoders_conv"],
+    "b128_full": ["train.batch_size=128", "rssm.remat=True"],
     "poe": ["rssm.multimodal_params.fusion_method=PoE"],
     "nonorm": ["rssm.normalization=None"],
     "groupnorm": ["rssm.normalization=GroupNorm"],
@@ -107,7 +110,12 @@ def main():
     parser.add_argument("--steps", type=int, default=20)
     args = parser.parse_args()
     for name in args.variants.split(","):
-        sps, ms, loss, frames = measure(VARIANTS[name], args.steps)
+        try:
+            sps, ms, loss, frames = measure(VARIANTS[name], args.steps)
+        except Exception as e:  # e.g. HBM OOM at large batch without remat
+            print(f"{name:10s} FAILED: {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:120]}", flush=True)
+            continue
         print(f"{name:10s} {sps:7.2f} steps/s  {ms:7.0f} ms/step  "
               f"{sps*frames:9.0f} frames/s  loss {loss:.1f}", flush=True)
 
