@@ -185,11 +185,65 @@ class WorldModel(nn.Module):
         observations: dict of [T-1, B, ...] targets (already clipped from
         t=1); actions/nonterminals: [T-1, B, ·].
         """
-        T, B = actions.shape[:2]
+        B = actions.shape[1]
         init_h = jnp.zeros((B, self.belief_size), jnp.float32)
         init_s = jnp.zeros((B, self.state_size), jnp.float32)
-        obs_emb = self.encode(observations, train=train)
+        return self.estimate_state_from(
+            init_h, init_s, observations, actions, nonterminals,
+            key=key, det=det, train=train,
+        )
 
+    def filter_step(
+        self,
+        belief: jnp.ndarray,
+        state: jnp.ndarray,
+        action: jnp.ndarray,
+        observations: Mapping[str, jnp.ndarray],
+        nonterminal: Optional[jnp.ndarray] = None,
+        key: Optional[jax.Array] = None,
+        det: bool = True,
+        train: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        """One online posterior update (streaming deployment API).
+
+        The reference can only infer over whole pre-recorded sequences
+        (estimate_state, base/algo.py:337-366); a robot controller needs the
+        per-frame filter: given the previous (belief, state), the action
+        taken, and the new observation frame, produce the next posterior.
+        Semantics are identical to one step of ``estimate_state`` — this
+        calls the same scan core with T=1, so parameters and numerics are
+        shared exactly.
+
+        belief [B, H], state [B, S], action [B, A], observations dict of
+        [B, ...] single frames (preprocessed like training inputs).
+        Returns the per-step state dict (beliefs/prior/posterior[/experts])
+        with the leading time axis squeezed; carry forward ``beliefs`` and
+        ``posterior_states``.
+        """
+        obs_seq = {k: v[None] for k, v in observations.items()}
+        nt = None if nonterminal is None else nonterminal[None]
+        states = self.estimate_state_from(
+            belief, state, obs_seq, action[None], nt, key=key, det=det,
+            train=train,
+        )
+        return jax.tree_util.tree_map(lambda x: x[0], states)
+
+    def estimate_state_from(
+        self,
+        init_belief: jnp.ndarray,
+        init_state: jnp.ndarray,
+        observations: Mapping[str, jnp.ndarray],
+        actions: jnp.ndarray,
+        nonterminals: Optional[jnp.ndarray] = None,
+        key: Optional[jax.Array] = None,
+        det: bool = False,
+        train: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        """``estimate_state`` from a caller-supplied initial (belief, state)
+        instead of zeros — the building block for streaming inference and
+        warm-started evaluation."""
+        T, B = actions.shape[:2]
+        obs_emb = self.encode(observations, train=train)
         if det or key is None:
             eps_prior = jnp.zeros((T, B, self.state_size), jnp.float32)
             eps_post = eps_prior
@@ -197,9 +251,9 @@ class WorldModel(nn.Module):
             k1, k2 = jax.random.split(key)
             eps_prior = jax.random.normal(k1, (T, B, self.state_size), jnp.float32)
             eps_post = jax.random.normal(k2, (T, B, self.state_size), jnp.float32)
-
         states = self.core(
-            init_h, init_s, actions, nonterminals, obs_emb, eps_prior, eps_post
+            init_belief, init_state, actions, nonterminals, obs_emb,
+            eps_prior, eps_post,
         )
         if self.multimodal:
             states = dict(states)

@@ -114,3 +114,46 @@ def test_reverse_image_roundtrip(rng):
     img = rng.uniform(-0.5, 0.5, size=(4, 4, 3)).astype(np.float32)
     out = visualize.reverse_image_observation(img)
     assert out.dtype == np.uint8
+
+
+def test_streaming_filter_matches_sequence(small_model_and_vars, tiny_cfg,
+                                           tiny_buffer):
+    """The OnlineFilter (per-frame streaming posterior) must reproduce the
+    full-sequence estimate_state exactly in det mode — it is the same scan
+    with T=1 steps chained through the carried (belief, state)."""
+    from multimodal_rssm_tpu.eval.streaming import OnlineFilter
+
+    model, variables = small_model_and_vars
+    spec = tr.build_aug_spec(tiny_buffer)
+    key = jax.random.PRNGKey(3)
+    obs, act, rew, nt = tiny_buffer.sample(2, 6)
+    prep = tr.prepare_observations(
+        {k: jnp.asarray(v) for k, v in obs.items()}, spec,
+        tr.HostAugmentDraws(tiny_buffer, spec).draw(),
+        int(tiny_cfg.env.bit_depth), key,
+    )
+    obs_target = {k: v[1:] for k, v in prep.items()}
+    actions = jnp.asarray(act)[:-1]
+    nonterms = jnp.asarray(nt)[:-1]
+
+    seq = model.apply(variables, obs_target, actions, nonterms, None, True,
+                      False, method=model.estimate_state)
+
+    filt = OnlineFilter(model, variables, det=True)
+    filt.reset(batch_size=2)
+    beliefs, posts = [], []
+    for t in range(actions.shape[0]):
+        frame = {k: v[t] for k, v in obs_target.items()}
+        out = filt.step(actions[t], frame, nonterminal=nonterms[t])
+        beliefs.append(out["beliefs"])
+        posts.append(out["posterior_means"])
+
+    np.testing.assert_allclose(np.stack(beliefs), np.asarray(seq["beliefs"]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.stack(posts),
+                               np.asarray(seq["posterior_means"]),
+                               rtol=1e-4, atol=1e-4)
+
+    recon = filt.decode()
+    for name, out in recon.items():
+        assert np.all(np.isfinite(np.asarray(out["loc"])))
