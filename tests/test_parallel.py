@@ -86,12 +86,18 @@ def test_model_axis_sharding_matches_replicated(dp_setup):
         jax.tree_util.tree_map(jnp.copy, state), raw, draws, key
     )
 
+    # copy EVERY leaf before device_put: the donated step must not consume
+    # buffers aliased with the module-scoped fixture's state (device_put to
+    # an equivalent sharding can alias rather than copy)
     sharded = tr.TrainState(
-        step=jax.device_put(state.step, mesh_lib.replicated(mesh)),
+        step=jax.device_put(jnp.copy(state.step), mesh_lib.replicated(mesh)),
         params=mesh_lib.shard_params(
             jax.tree_util.tree_map(jnp.copy, state.params), mesh
         ),
-        batch_stats=jax.device_put(state.batch_stats, mesh_lib.replicated(mesh)),
+        batch_stats=jax.device_put(
+            jax.tree_util.tree_map(jnp.copy, state.batch_stats),
+            mesh_lib.replicated(mesh),
+        ),
         opt_state=mesh_lib.shard_params(
             jax.tree_util.tree_map(jnp.copy, state.opt_state), mesh
         ),
