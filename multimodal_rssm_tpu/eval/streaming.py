@@ -23,12 +23,16 @@ import jax.numpy as jnp
 
 
 class OnlineFilter:
-    def __init__(self, model, variables: Mapping[str, Any], det: bool = True):
+    def __init__(self, model, variables: Mapping[str, Any], det: bool = True,
+                 seed: int = 0):
         self.model = model
         self.variables = dict(variables)
         self.det = det
         self.h: Optional[jnp.ndarray] = None
         self.s: Optional[jnp.ndarray] = None
+        # internal key stream for det=False when no per-step key is passed
+        # (a constant key would draw identical eps noise every frame)
+        self._key = jax.random.PRNGKey(seed)
 
         @jax.jit
         def _step(variables, h, s, action, observations, nonterminal, key):
@@ -65,10 +69,11 @@ class OnlineFilter:
         B = next(iter(observations.values())).shape[0]
         if nonterminal is None:
             nonterminal = jnp.ones((B, 1), jnp.float32)
+        if key is None:
+            self._key, key = jax.random.split(self._key)
         out = self._step(self.variables, self.h, self.s,
                          jnp.asarray(action), observations,
-                         jnp.asarray(nonterminal),
-                         key if key is not None else jax.random.PRNGKey(0))
+                         jnp.asarray(nonterminal), key)
         self.h = out["beliefs"]
         self.s = out["posterior_states"]
         return out

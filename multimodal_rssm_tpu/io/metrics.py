@@ -70,11 +70,22 @@ class MetricLogger:
             if not leaves:
                 continue
             flat = np.concatenate([l.astype(np.float32) for l in leaves])
-            counts, edges = np.histogram(flat, bins=16)
+            finite = flat[np.isfinite(flat)]
+            n_bad = int(flat.size - finite.size)
+            if finite.size == 0:
+                # all-NaN/Inf gradients: record the fact instead of letting
+                # np.histogram raise and kill the training loop — this is
+                # exactly the moment the diagnostics matter
+                rec[f"{prefix}_{mod}/hist"] = {
+                    "count": int(flat.size), "nonfinite": n_bad,
+                }
+                continue
+            counts, edges = np.histogram(finite, bins=16)
             rec[f"{prefix}_{mod}/hist"] = {
                 "count": int(flat.size),
-                "min": float(flat.min()), "max": float(flat.max()),
-                "mean": float(flat.mean()), "std": float(flat.std()),
+                "nonfinite": n_bad,
+                "min": float(finite.min()), "max": float(finite.max()),
+                "mean": float(finite.mean()), "std": float(finite.std()),
                 "bin_counts": counts.tolist(),
                 "bin_edges": [float(e) for e in edges],
             }

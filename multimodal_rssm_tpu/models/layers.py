@@ -57,9 +57,19 @@ def glu(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
 
 class Dense(nn.Dense):
     """nn.Dense with the framework's dtype defaults (kernel [in, out];
-    importer transposes torch's [out, in])."""
+    importer transposes torch's [out, in]).
+
+    Outputs are tagged as remat save points like the convs (tag_conv_out):
+    under the ``remat: conv`` / ``decoders_conv`` policies the backward
+    keeps every MXU result — conv and matmul — and recomputes only the
+    elementwise tails.  Outside a remat scope the tag is a no-op.
+    """
 
     param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return tag_conv_out(super().__call__(x))
 
 
 def tag_conv_out(y: jnp.ndarray) -> jnp.ndarray:
@@ -301,6 +311,10 @@ class ConvTranspose(nn.Module):
             self.param_dtype,
         )
         impl = self.impl or os.environ.get("RSSM_CONVT_IMPL", "dilated")
+        if impl not in ("phased", "dilated", "dilated_autodiff"):
+            raise ValueError(
+                f"ConvTranspose impl={impl!r} is not one of "
+                "('dilated', 'dilated_autodiff', 'phased')")
         if impl == "phased":
             y = phased_conv_transpose(
                 x.astype(self.dtype), kernel.astype(self.dtype),

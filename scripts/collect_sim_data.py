@@ -100,7 +100,14 @@ def software_render(model, data, size=64):
         u = (pos[0] / world_w + 0.5) * size
         v = (0.5 - (pos[2] * c + pos[1] * s) / world_w) * size
         sz = geom.size
-        r = float(np.max(sz[: max(1, geom.type != 6)])) if sz.size else 0.03
+        # box (mjGEOM_BOX=6): use the largest half-extent; sphere/capsule:
+        # sz[0] is the radius
+        if sz.size == 0:
+            r = 0.03
+        elif int(geom.type) == 6:
+            r = float(np.max(sz))
+        else:
+            r = float(sz[0])
         r_px = max(2.0, r / world_w * size * 1.6)
         rgba = np.asarray(geom.rgba[:3], np.float32)
         mask = ((xx - u) ** 2 + (yy - v) ** 2) <= r_px ** 2

@@ -39,52 +39,20 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    from multimodal_rssm_tpu.core.config import compose
-    from multimodal_rssm_tpu.models.world_model import WorldModel
+    from _profiling_common import build_step_setup, enable_compile_cache
     from multimodal_rssm_tpu.train import trainer as tr
 
-    overrides = [
-        f"train.batch_size={args.batch_size}",
-        f"train.chunk_size={args.chunk_size}",
-    ]
+    enable_compile_cache()
+    overrides = []
     if args.small:
         overrides += [
             "rssm.belief_size=64", "rssm.state_size=16", "rssm.hidden_size=64",
             "rssm.embedding_size.image=64", "rssm.embedding_size.sound=32",
             "rssm.embedding_size.fusion=64", "train.use_amp=False",
         ]
-    cfg = compose(os.path.join(os.path.dirname(__file__), "..", "configs"),
-                  overrides=overrides)
-
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-    import __graft_entry__ as ge
-
-    L, B = int(cfg.train.chunk_size), int(cfg.train.batch_size)
-    raw = ge._synthetic_batch(cfg, L, B)
-    model = WorldModel.from_config(cfg, dtype=tr.compute_dtype(cfg))
-    optimizer = tr.build_optimizer(cfg)
-
-    mods = []
-    for name in raw[0]:
-        if "image" in name:
-            hw = tuple(raw[0][name].shape[2:4])
-            mods.append((name, tr.ModalityAugSpec(
-                out_size=hw, needs_crop=False, noise=False, pca=False,
-                normalize=True)))
-    spec = tr.AugSpec(modalities=tuple(mods))
-    draws = {name: {} for name, _ in spec.modalities}
-    key = jax.random.PRNGKey(0)
+    (cfg, model, optimizer, spec, draws, raw, prep, state,
+     key) = build_step_setup(args.batch_size, args.chunk_size, overrides)
     bit_depth = int(cfg.env.bit_depth)
-
-    prep = tr.prepare_observations(raw[0], spec, draws, bit_depth, key)
-    state = tr.init_train_state(model, cfg, optimizer, key,
-                                (prep, raw[1], raw[2], raw[3]))
     train_step, eval_step = tr.make_train_step(model, cfg, optimizer, spec)
     loss_fn = tr.make_loss_fn(model, cfg)
 

@@ -284,3 +284,12 @@ def test_conv_transpose_custom_vjp_matches_autodiff(rng, shape, kernel,
         (0, 1))(x, k)
     for u, v in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=2e-4)
+
+
+def test_conv_transpose_invalid_impl_errors():
+    from multimodal_rssm_tpu.models.layers import ConvTranspose
+
+    mod = ConvTranspose(4, (3, 3), impl="phase")  # typo'd impl
+    x = jnp.ones((1, 4, 4, 2))
+    with pytest.raises(ValueError, match="impl='phase'"):
+        mod.init(jax.random.PRNGKey(0), x)

@@ -167,3 +167,19 @@ def test_histogram_logging(tmp_path):
     h = rec["grads_core/hist"]
     assert h["count"] == 9 and len(h["bin_counts"]) == 16
     assert rec["grads_encoder/hist"]["count"] == 4
+
+
+def test_histogram_logging_nonfinite(tmp_path):
+    """NaN/Inf gradients must be recorded, not crash the training loop."""
+    import json
+    from multimodal_rssm_tpu.io.metrics import MetricLogger
+
+    logger = MetricLogger(str(tmp_path))
+    tree = {"core": {"w": jnp.array([1.0, jnp.nan, jnp.inf, 2.0])},
+            "dead": {"w": jnp.array([jnp.nan, jnp.nan])}}
+    logger.log_histograms(tree, step=1, prefix="grads")
+    logger.finish()
+    rec = json.loads(open(logger.path).read().strip())
+    assert rec["grads_core/hist"]["nonfinite"] == 2
+    assert rec["grads_core/hist"]["count"] == 4
+    assert rec["grads_dead/hist"] == {"count": 2, "nonfinite": 2}
