@@ -266,6 +266,26 @@ def _conv_transpose_bwd(strides, padding, res, dy):
 conv_transpose_vjp.defvjp(_conv_transpose_fwd, _conv_transpose_bwd)
 
 
+CONVT_IMPLS = ("dilated", "dilated_autodiff", "phased")
+
+
+def set_convt_impl(impl: str) -> str:
+    """Select the process-wide ConvTranspose implementation.
+
+    The config-system entry point for ``rssm.convt_impl`` (ADVICE r1: the
+    raw RSSM_CONVT_IMPL env var was undocumented, unvalidated, and not
+    captured in the persisted run config).  All three impls are numerically
+    exact (see ConvTranspose docstring); this only selects the backward
+    formulation / schedule.  Must be called before the first jit trace —
+    the choice is read at trace time and later env edits are ignored.
+    """
+    if impl not in CONVT_IMPLS:
+        raise ValueError(
+            f"rssm.convt_impl={impl!r} is not one of {CONVT_IMPLS}")
+    os.environ["RSSM_CONVT_IMPL"] = impl
+    return impl
+
+
 class ConvTranspose(nn.Module):
     """Transposed conv matching torch.nn.ConvTranspose2d semantics.
 
@@ -311,10 +331,9 @@ class ConvTranspose(nn.Module):
             self.param_dtype,
         )
         impl = self.impl or os.environ.get("RSSM_CONVT_IMPL", "dilated")
-        if impl not in ("phased", "dilated", "dilated_autodiff"):
+        if impl not in CONVT_IMPLS:
             raise ValueError(
-                f"ConvTranspose impl={impl!r} is not one of "
-                "('dilated', 'dilated_autodiff', 'phased')")
+                f"ConvTranspose impl={impl!r} is not one of {CONVT_IMPLS}")
         if impl == "phased":
             y = phased_conv_transpose(
                 x.astype(self.dtype), kernel.astype(self.dtype),

@@ -60,6 +60,16 @@ class WorldModel(nn.Module):
     multimodal: bool = True
     fusion_method: str = "MoPoE"
     expert_dist: str = "q(st|ht,ot)"
+    # Activation of the RSSM core (fc_embed_state_action / prior head /
+    # in-core posterior heads).  None -> activation_function["dense"].
+    # NOTE reference quirk #11: the multimodal algo classes never pass
+    # activation_function to MultimodalTransitionModel
+    # (algos/MRSSM/MRSSM_{NN,PoE,MoPoE}/algo.py:20-29), so the REAL
+    # multimodal training path always runs the ctor default 'relu'
+    # (utils/models/transition_model.py:149) regardless of
+    # cfg.rssm.activation_function.dense; only the unimodal algo threads
+    # dense through (RSSM/algo.py:18-19).  from_config replicates this.
+    core_activation: Optional[str] = None
     min_std_dev: float = 0.1
     dtype: Dtype = jnp.float32
     # True: full remat everywhere; False: nowhere; "decoders": decoders
@@ -132,7 +142,8 @@ class WorldModel(nn.Module):
             multimodal=self.multimodal,
             fusion_method=self.fusion_method,
             expert_dist=self.expert_dist,
-            activation_function=self.activation_function["dense"],
+            activation_function=(self.core_activation
+                                 or self.activation_function["dense"]),
             min_std_dev=self.min_std_dev,
             dtype=self.dtype,
         )
@@ -344,6 +355,11 @@ class WorldModel(nn.Module):
             rssm.multimodal_params.expert_dist if multimodal else "q(st|ht,ot)"
         )
         shapes = {k: tuple(v) for k, v in cfg.env.observation_shapes.items()}
+        convt_impl = rssm.get("convt_impl", None)
+        if convt_impl:
+            from multimodal_rssm_tpu.models import layers
+
+            print(f"convt_impl: {layers.set_convt_impl(str(convt_impl))}")
         return WorldModel(
             observation_names_enc=tuple(rssm.observation_names_enc),
             observation_names_rec=tuple(rssm.observation_names_rec),
@@ -358,6 +374,11 @@ class WorldModel(nn.Module):
             multimodal=multimodal,
             fusion_method=fusion_method,
             expert_dist=expert_dist,
+            # reference quirk #11 (see core_activation field): multimodal
+            # transition cores always run relu; unimodal threads dense.
+            # rssm.core_activation overrides for users who want dense.
+            core_activation=(rssm.get("core_activation")
+                             or ("relu" if multimodal else None)),
             dtype=dtype,
             remat=_check_remat(rssm.get("remat", True)),
         )

@@ -178,17 +178,37 @@ class HostAugmentDraws:
         return out
 
 
+def pallas_normalize_enabled(cfg) -> bool:
+    """Resolve ``train.pallas_normalize`` (false | true | auto): whether the
+    fused Pallas bit-depth-normalise kernel (ops/pallas_kernels.py) replaces
+    the jax.random path inside the train step.  "auto" = on TPU only (the
+    kernel is TPU pallas; distribution-equivalent but not bit-identical to
+    the keyed jax.random noise, so runs with it on/off are statistically —
+    not bitwise — comparable)."""
+    mode = str(cfg.train.get("pallas_normalize", "auto")).lower()
+    if mode == "true":
+        return True
+    if mode == "false":
+        return False
+    if mode != "auto":
+        raise ValueError(
+            f"train.pallas_normalize={mode!r} not in (false, true, auto)")
+    return jax.default_backend() == "tpu"
+
+
 def prepare_observations(
     observations: Mapping[str, jnp.ndarray],
     spec: AugSpec,
     draws: Mapping[str, Mapping[str, jnp.ndarray]],
     bit_depth: int,
     key: jax.Array,
+    pallas_normalize: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Device half of the input pipeline (ref ``_retrieve_batch``,
     memory.py:189-209): crop / noise / PCA / clip for images, then
     bit-depth normalise ("bin" images: crop+clip only, no normalise —
-    ref :198-200)."""
+    ref :198-200).  ``pallas_normalize`` selects the fused Pallas kernel
+    for the normalise stage when the shape allows (TPU hot path)."""
     out = {}
     names = list(observations.keys())
     keys = jax.random.split(key, 2 * max(len(names), 1))
@@ -220,7 +240,15 @@ def prepare_observations(
         if delta is not None:
             img = jnp.clip(img + delta, 0.0, 255.0)
         if mspec.normalize:
-            img = normalize_image(img, bit_depth, keys[2 * i + 1])
+            from multimodal_rssm_tpu.ops import pallas_kernels
+
+            if pallas_normalize and pallas_kernels.supports_shape(img.shape):
+                seed = jax.random.randint(
+                    keys[2 * i + 1], (), 0, jnp.iinfo(jnp.int32).max)
+                img = pallas_kernels.normalize_image_pallas(
+                    img, bit_depth, seed)
+            else:
+                img = normalize_image(img, bit_depth, keys[2 * i + 1])
         out[name] = img
     return out
 
@@ -251,7 +279,12 @@ def make_loss_fn(model: WorldModel, cfg):
     def loss_fn(params, batch_stats, batch, key, train: bool):
         observations, actions, rewards, nonterminals = batch
         obs_target = {k: v[1:] for k, v in observations.items()}
-        key_est, key_os = jax.random.split(key)
+        # key=None -> fully deterministic (posterior/prior samples collapse
+        # to their means); used by the torch-oracle loss-parity tests.
+        if key is None:
+            key_est = key_os = None
+        else:
+            key_est, key_os = jax.random.split(key)
 
         variables = {"params": params, "batch_stats": batch_stats}
         if train:
@@ -341,6 +374,7 @@ def make_loss_fn(model: WorldModel, cfg):
                 overshooting_reward_scale,
                 key_os,
                 fusion_method=fusion_method if model.multimodal else "NN",
+                det=key_os is None,
             )
             kl_loss_sum = kl_loss_sum + overshooting_kl_beta * kl_os
             if predict_reward:
@@ -370,13 +404,15 @@ def make_train_step(model: WorldModel, cfg, optimizer, aug_spec: AugSpec):
     """
     loss_fn = make_loss_fn(model, cfg)
     bit_depth = int(cfg.env.bit_depth)
+    use_pallas = pallas_normalize_enabled(cfg)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, raw_batch, aug_draws, key):
         observations, actions, rewards, nonterminals = raw_batch
         key_prep, key_loss = jax.random.split(key)
         observations = prepare_observations(
-            observations, aug_spec, aug_draws, bit_depth, key_prep
+            observations, aug_spec, aug_draws, bit_depth, key_prep,
+            pallas_normalize=use_pallas,
         )
         batch = (observations, actions, rewards, nonterminals)
 
@@ -406,7 +442,8 @@ def make_train_step(model: WorldModel, cfg, optimizer, aug_spec: AugSpec):
         observations, actions, rewards, nonterminals = raw_batch
         key_prep, key_loss = jax.random.split(key)
         observations = prepare_observations(
-            observations, aug_spec, aug_draws, bit_depth, key_prep
+            observations, aug_spec, aug_draws, bit_depth, key_prep,
+            pallas_normalize=use_pallas,
         )
         batch = (observations, actions, rewards, nonterminals)
         _, (_, metrics) = loss_fn(
@@ -423,13 +460,15 @@ def make_grad_fn(model: WorldModel, cfg, aug_spec: AugSpec):
     loss as the train step, returns the raw gradient pytree."""
     loss_fn = make_loss_fn(model, cfg)
     bit_depth = int(cfg.env.bit_depth)
+    use_pallas = pallas_normalize_enabled(cfg)
 
     @jax.jit
     def grad_fn(state: TrainState, raw_batch, aug_draws, key):
         observations, actions, rewards, nonterminals = raw_batch
         key_prep, key_loss = jax.random.split(key)
         observations = prepare_observations(
-            observations, aug_spec, aug_draws, bit_depth, key_prep
+            observations, aug_spec, aug_draws, bit_depth, key_prep,
+            pallas_normalize=use_pallas,
         )
         batch = (observations, actions, rewards, nonterminals)
         return jax.grad(
@@ -449,6 +488,7 @@ def make_device_resident_steps(model: WorldModel, cfg, optimizer,
 
     loss_fn = make_loss_fn(model, cfg)
     bit_depth = int(cfg.env.bit_depth)
+    use_pallas = pallas_normalize_enabled(cfg)
     obs_names = tuple(observation_names)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -458,7 +498,8 @@ def make_device_resident_steps(model: WorldModel, cfg, optimizer,
         )
         key_prep, key_loss = jax.random.split(key)
         observations = prepare_observations(
-            observations, aug_spec, aug_draws, bit_depth, key_prep
+            observations, aug_spec, aug_draws, bit_depth, key_prep,
+            pallas_normalize=use_pallas,
         )
         batch = (observations, actions, rewards, nonterminals)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -484,7 +525,8 @@ def make_device_resident_steps(model: WorldModel, cfg, optimizer,
         )
         key_prep, key_loss = jax.random.split(key)
         observations = prepare_observations(
-            observations, aug_spec, aug_draws, bit_depth, key_prep
+            observations, aug_spec, aug_draws, bit_depth, key_prep,
+            pallas_normalize=use_pallas,
         )
         batch = (observations, actions, rewards, nonterminals)
         _, (_, metrics) = loss_fn(state.params, state.batch_stats, batch,

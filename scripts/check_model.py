@@ -77,16 +77,32 @@ def main():
     _save_image_grids(out_dir, "reconstruction", recon, obs_target, bit_depth)
 
     # -- PCA of latents ------------------------------------------------
+    # Notebook cells 25-29: the PCA basis is fit over ALL episodes'
+    # latents stacked (np.vstack across the states dict), then every
+    # episode's trajectory is projected and drawn as one 3D line.
     try:
-        pca_b, proj_b = visualize.pca_trajectories(
-            [np.asarray(states["beliefs"])[:, 0]], 2)
-        pca_s, proj_s = visualize.pca_trajectories(
-            [np.asarray(states["posterior_means"])[:, 0]], 2)
-        np.save(os.path.join(out_dir, "pca_beliefs.npy"), proj_b[0])
-        np.save(os.path.join(out_dir, "pca_posterior_means.npy"), proj_s[0])
-        _plot_pca(out_dir, proj_b[0], proj_s[0])
+        epi_beliefs, epi_post = [], []
+        for epi in range(D.episodes):
+            s_e = (states if epi == args.episode else
+                   state_estimation.estimate_episode(
+                       model, variables, D, epi, spec, bit_depth,
+                       jax.random.fold_in(key, epi), det=True))
+            epi_beliefs.append(np.asarray(s_e["beliefs"])[:, 0])
+            epi_post.append(np.asarray(s_e["posterior_means"])[:, 0])
+        n_comp = 3 if epi_beliefs[0].shape[0] >= 3 else 2
+        pca_b, proj_b = visualize.pca_trajectories(epi_beliefs, n_comp)
+        pca_s, proj_s = visualize.pca_trajectories(epi_post, n_comp)
+        np.save(os.path.join(out_dir, "pca_beliefs.npy"),
+                np.asarray(proj_b, dtype=object), allow_pickle=True)
+        np.save(os.path.join(out_dir, "pca_posterior_means.npy"),
+                np.asarray(proj_s, dtype=object), allow_pickle=True)
+        _plot_pca(out_dir, proj_b, proj_s)
     except Exception as e:  # sklearn optional
         print(f"PCA skipped: {e}")
+
+    # -- expert distributions (cells 39-48) ---------------------------
+    if model.multimodal and "expert_means" in states:
+        _save_expert_artifacts(out_dir, states)
 
     # -- open-loop imagination ----------------------------------------
     t_start = min(args.t_start, actions_in.shape[0] - 2)
@@ -127,20 +143,72 @@ def _save_image_grids(out_dir, tag, preds, targets, bit_depth, max_frames=8):
 
 
 def _plot_pca(out_dir, proj_beliefs, proj_states):
+    """Per-episode latent trajectories in the shared PCA basis (notebook
+    cells 28-29: one 3D line per episode, alpha-blended)."""
     try:
         import matplotlib
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        fig, axes = plt.subplots(1, 2, figsize=(10, 4))
-        for ax, proj, title in zip(axes, (proj_beliefs, proj_states),
-                                   ("beliefs", "posterior means")):
-            sc = ax.scatter(proj[:, 0], proj[:, 1],
-                            c=np.arange(len(proj)), cmap="viridis", s=8)
-            ax.set_title(f"PCA of {title}")
-        fig.colorbar(sc, ax=axes, label="t")
+        three_d = proj_beliefs[0].shape[1] >= 3
+        fig = plt.figure(figsize=(12, 6))
+        for i, (projs, title) in enumerate(
+                ((proj_beliefs, "beliefs"), (proj_states, "posterior means"))):
+            ax = fig.add_subplot(1, 2, i + 1,
+                                 projection="3d" if three_d else None)
+            for proj in projs:
+                coords = (proj[:, 0], proj[:, 1], proj[:, 2]) if three_d \
+                    else (proj[:, 0], proj[:, 1])
+                ax.plot(*coords, alpha=0.4)
+            ax.set_title(f"PCA of {title} ({len(projs)} episodes)")
         fig.savefig(os.path.join(out_dir, "pca_latents.png"), dpi=120)
+        plt.close(fig)
+    except ImportError:
+        pass
+
+
+def _save_expert_artifacts(out_dir, states):
+    """Per-expert posterior (mean, std) series + every expert-subset PoE
+    (notebook cells 39-48: expert extraction + calc_subset_states; the
+    notebook stops short of plotting — we also render mean±std bands)."""
+    from multimodal_rssm_tpu.ops import fusion
+
+    expert_means = {k: np.asarray(v)[:, 0]
+                    for k, v in states["expert_means"].items()}
+    expert_stds = {k: np.asarray(v)[:, 0]
+                   for k, v in states["expert_std_devs"].items()}
+    means = np.asarray(states["expert_means_stacked"])   # [T, K, B, S]
+    stds = np.asarray(states["expert_std_devs_stacked"])
+    sub_m, sub_s = fusion.subset_poe_states(
+        np.moveaxis(means, 1, 0), np.moveaxis(stds, 1, 0))
+    np.save(os.path.join(out_dir, "expert_distributions.npy"),
+            {"expert_means": expert_means, "expert_std_devs": expert_stds,
+             "subset_means": [np.asarray(m)[:, 0] for m in sub_m],
+             "subset_std_devs": [np.asarray(s)[:, 0] for s in sub_s]},
+            allow_pickle=True)
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        dims = min(4, next(iter(expert_means.values())).shape[-1])
+        fig, axes = plt.subplots(dims, 1, figsize=(10, 2.5 * dims),
+                                 squeeze=False)
+        for d in range(dims):
+            ax = axes[d][0]
+            for name in expert_means:
+                m, s = expert_means[name][:, d], expert_stds[name][:, d]
+                t = np.arange(len(m))
+                (line,) = ax.plot(t, m, label=name)
+                ax.fill_between(t, m - s, m + s, alpha=0.15,
+                                color=line.get_color())
+            ax.set_ylabel(f"s[{d}]")
+        axes[0][0].legend(loc="upper right", fontsize=8)
+        axes[-1][0].set_xlabel("t")
+        fig.suptitle("per-expert posterior mean ± std")
+        fig.savefig(os.path.join(out_dir, "expert_distributions.png"), dpi=120)
         plt.close(fig)
     except ImportError:
         pass

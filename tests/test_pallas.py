@@ -45,3 +45,43 @@ def test_normalize_pallas_seed_determinism(rng):
     a = _run(img, 5, [3])
     b = _run(img, 5, [3])
     np.testing.assert_array_equal(a, b)
+
+
+def test_prepare_observations_pallas_dispatch(rng):
+    """The train-step input pipeline (trainer.prepare_observations) uses the
+    fused kernel when pallas_normalize is on and the shape qualifies, and
+    the result's deterministic (quantised) part matches the jax.random
+    path exactly (the dequant noise differs only in its PRNG stream)."""
+    from multimodal_rssm_tpu.train import trainer as tr
+
+    img = rng.integers(0, 256, size=(2, 4, 64, 64, 3), dtype=np.uint8)
+    spec = tr.AugSpec(modalities=(
+        ("image_horizon", tr.ModalityAugSpec(
+            out_size=(64, 64), needs_crop=False, noise=False, pca=False,
+            normalize=True)),
+    ))
+    obs = {"image_horizon": jnp.asarray(img)}
+    key = jax.random.PRNGKey(0)
+    with pltpu.force_tpu_interpret_mode():
+        out_pallas = tr.prepare_observations(
+            obs, spec, {"image_horizon": {}}, 5, key, pallas_normalize=True)
+    out_jax = tr.prepare_observations(
+        obs, spec, {"image_horizon": {}}, 5, key, pallas_normalize=False)
+    det = np.asarray(normalize_image_deterministic(jnp.asarray(img), 5))
+    for out in (out_pallas, out_jax):
+        noise = np.asarray(out["image_horizon"]) - det
+        assert noise.min() >= 0.0 and noise.max() < 1.0 / 32 + 1e-6
+
+
+def test_pallas_normalize_enabled_resolution():
+    from multimodal_rssm_tpu.core.config import ConfigDict
+    from multimodal_rssm_tpu.train import trainer as tr
+
+    mk = lambda v: ConfigDict({"train": {"pallas_normalize": v}})
+    assert tr.pallas_normalize_enabled(mk(True)) is True
+    assert tr.pallas_normalize_enabled(mk(False)) is False
+    # auto = TPU only; tests run on the CPU backend
+    assert tr.pallas_normalize_enabled(mk("auto")) is False
+    assert tr.pallas_normalize_enabled(ConfigDict({"train": {}})) is False
+    with pytest.raises(ValueError):
+        tr.pallas_normalize_enabled(mk("sometimes"))

@@ -82,7 +82,12 @@ def _state_dicts(transition, encoder, observation_model, reward):
     }
 
 
-def _jax_model(normalization="BatchNorm", fusion_method="PoE"):
+def _jax_model(normalization="BatchNorm", fusion_method="PoE",
+               core_activation=None):
+    # core_activation=None -> dense ('elu'), matching the torch modules
+    # built by _torch_models with an explicit activation; the oracle tests
+    # pass "relu" because the reference ALGO classes leave the transition
+    # ctor default (quirk #11, see WorldModel.core_activation).
     return WorldModel(
         observation_names_enc=NAMES,
         observation_names_rec=NAMES,
@@ -95,6 +100,7 @@ def _jax_model(normalization="BatchNorm", fusion_method="PoE"):
         multimodal=True,
         fusion_method=fusion_method,
         expert_dist="q(st|ht,ot)",
+        core_activation=core_activation,
     )
 
 
@@ -238,6 +244,178 @@ def test_mopoe_estimate_state_parity(rng):
     )
     np.testing.assert_allclose(np.asarray(states["posterior_means"]),
                                post_means.numpy(), rtol=1e-4, atol=2e-4)
+
+
+# -- torch-oracle ELBO parity (VERDICT r1 missing #3) ---------------------
+#
+# Runs the REFERENCE's actual loss assembly (RSSM_base._get_model_loss /
+# _calc_loss, algos/MRSSM/base/algo.py:165-232, and the MoPoE overrides
+# MRSSM_MoPoE/algo.py:69-137) end-to-end on its own algo classes, exports
+# the torch weights, and asserts every ELBO term our make_loss_fn produces
+# matches.  Both sides run deterministically (torch Normal.rsample patched
+# to the mean; our loss called with key=None so every eps is zero), which
+# makes the comparison exact rather than distribution-level.  This retires
+# the round-1 self-referential risk of validating overshooting only against
+# a builder-written oracle (tests/test_overshoot.py).
+
+
+def _stub_wandb():
+    """The reference algo modules import wandb at module scope
+    (base/algo.py:9); it is not installed here.  Stub the import — the
+    tests never enable cfg.main.wandb, so no stubbed attribute is called."""
+    import sys as _sys
+    import types
+
+    if "wandb" not in _sys.modules:
+        _sys.modules["wandb"] = types.ModuleType("wandb")
+
+
+def _oracle_cfg(fusion_method="PoE", log_prob=False, kl_alpha=0.5,
+                overshooting_reward_scale=1.0):
+    """Tiny config consumed by BOTH the reference algo classes (attribute
+    access, e.g. cfg.rssm.belief_size) and our make_loss_fn."""
+    from multimodal_rssm_tpu.core.config import ConfigDict
+
+    return ConfigDict({
+        "main": {"device": "cpu", "wandb": False},
+        "env": {"action_size": ACTION_SIZE,
+                "observation_shapes": {k: list(v) for k, v in SHAPES.items()}},
+        "train": {"batch_size": B, "chunk_size": T, "use_amp": False},
+        "rssm": {
+            "belief_size": BELIEF, "state_size": STATE, "hidden_size": HIDDEN,
+            "observation_names_enc": list(NAMES),
+            "observation_names_rec": list(NAMES),
+            "embedding_size": dict(EMB),
+            "activation_function": dict(ACT),
+            "normalization": "BatchNorm",
+            "multimodal": True,
+            "multimodal_params": {"fusion_method": fusion_method,
+                                   "expert_dist": "q(st|ht,ot)"},
+            "min_std_dev": 0.1,
+            "free_nats": 3.0,
+            "kl_beta": 1.0,
+            "kl_balancing_alpha": kl_alpha,
+            "global_kl_beta": 0.1,
+            "overshooting_distance": 3,
+            "overshooting_kl_beta": 0.5,
+            "overshooting_reward_scale": overshooting_reward_scale,
+            "worldmodel_LogProbLoss": log_prob,
+            "predict_reward": True,
+            "learning_rate_schedule": 0,
+            "model_learning_rate": 1e-3,
+            "adam_epsilon": 1e-7,
+            "grad_clip_norm": 100.0,
+        },
+    })
+
+
+def _build_reference_algo(cfg):
+    _stub_wandb()
+    if cfg.rssm.multimodal_params.fusion_method == "MoPoE":
+        from algos.MRSSM.MRSSM_MoPoE.algo import MRSSM_MoPoE as cls
+    else:
+        from algos.MRSSM.MRSSM_PoE.algo import MRSSM_PoE as cls
+    torch.manual_seed(0)
+    return cls(cfg, torch.device("cpu"))
+
+
+def _oracle_batch(rng):
+    obs_np = {
+        "image_horizon": rng.normal(size=(T, B, 3, 64, 64)).astype(np.float32) * 0.3,
+        "sound": rng.normal(size=(T, B, 128, 20)).astype(np.float32) * 0.3,
+    }
+    actions = rng.normal(size=(T, B, ACTION_SIZE)).astype(np.float32)
+    rewards = rng.normal(size=(T, B)).astype(np.float32)
+    nonterm = np.ones((T, B, 1), np.float32)
+    nonterm[2, 0, 0] = 0.0  # exercise episode-boundary masking
+    return obs_np, actions, rewards, nonterm
+
+
+def _reference_loss_terms(ref, obs_np, actions, rewards, nonterm, monkeypatch):
+    """Run the reference's optimize() data path minus the backward pass:
+    estimate_state (base/algo.py:337-366) then _get_model_loss (:217-232),
+    deterministically."""
+    monkeypatch.setattr(
+        torch.distributions.Normal, "rsample",
+        lambda self, sample_shape=torch.Size(): self.mean,
+    )
+    ref.eval()
+    with torch.no_grad():
+        obs_t = {k: torch.tensor(v) for k, v in obs_np.items()}
+        obs_target = ref._clip_obs(obs_t, idx_start=1)
+        actions_t = torch.tensor(actions)
+        rewards_t = torch.tensor(rewards)
+        nonterm_t = torch.tensor(nonterm)
+        states = ref.estimate_state(
+            obs_target, actions_t[:-1], rewards_t, nonterm_t[:-1]
+        )
+        model_loss, loss_info = ref._get_model_loss(
+            obs_target, actions_t, rewards_t, nonterm_t, states
+        )
+    return float(model_loss), loss_info
+
+
+def _our_loss_terms(cfg, ref, obs_np, actions, rewards, nonterm):
+    from multimodal_rssm_tpu.train.trainer import make_loss_fn
+
+    model = _jax_model(
+        fusion_method=cfg.rssm.multimodal_params.fusion_method,
+        core_activation="relu")  # reference quirk #11
+    variables = torch_import.import_world_model(ref.get_state_dict(), model)
+    loss_fn = make_loss_fn(model, cfg)
+    obs_hwc = {
+        "image_horizon": jnp.asarray(obs_np["image_horizon"].transpose(0, 1, 3, 4, 2)),
+        "sound": jnp.asarray(obs_np["sound"]),
+    }
+    batch = (obs_hwc, jnp.asarray(actions), jnp.asarray(rewards),
+             jnp.asarray(nonterm))
+    total, (_, metrics) = loss_fn(
+        variables["params"], variables.get("batch_stats", {}), batch,
+        None, False,  # key=None -> det; train=False matches ref.eval()
+    )
+    return float(total), {k: float(v) for k, v in metrics.items()}
+
+
+def _assert_terms_match(loss_info, metrics, total_ref, total_ours):
+    for key in ("observation_image_horizon_loss", "observation_sound_loss",
+                "observations_loss_sum", "reward_loss", "kl_loss",
+                "kl_loss_sum"):
+        np.testing.assert_allclose(
+            metrics[key], loss_info[key], rtol=5e-4, atol=5e-4, err_msg=key)
+    np.testing.assert_allclose(total_ours, total_ref, rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("fusion_method", ["PoE", "MoPoE"])
+def test_oracle_loss_assembly(fusion_method, rng, monkeypatch):
+    """Every ELBO term (per-modality obs MSE, reward, balanced/MoPoE KL +
+    free nats, global KL, latent overshooting incl. overshoot reward)
+    matches the reference's _calc_loss on the same imported weights and
+    batch.  Under det rollouts the reference's MoPoE quirk #10 (reward
+    overshoot from the last subset iteration only) is numerically
+    irrelevant — all subsets share the identical prior rollout — so the
+    comparison is exact for both fusion methods."""
+    cfg = _oracle_cfg(fusion_method=fusion_method)
+    ref = _build_reference_algo(cfg)
+    obs_np, actions, rewards, nonterm = _oracle_batch(rng)
+    total_ref, loss_info = _reference_loss_terms(
+        ref, obs_np, actions, rewards, nonterm, monkeypatch)
+    total_ours, metrics = _our_loss_terms(
+        cfg, ref, obs_np, actions, rewards, nonterm)
+    _assert_terms_match(loss_info, metrics, total_ref, total_ours)
+
+
+def test_oracle_loss_assembly_logprob_unbalanced(rng, monkeypatch):
+    """LogProb observation/reward losses + unbalanced KL
+    (kl_balancing_alpha: null) against the reference oracle."""
+    cfg = _oracle_cfg(log_prob=True, kl_alpha=None,
+                      overshooting_reward_scale=0.0)
+    ref = _build_reference_algo(cfg)
+    obs_np, actions, rewards, nonterm = _oracle_batch(rng)
+    total_ref, loss_info = _reference_loss_terms(
+        ref, obs_np, actions, rewards, nonterm, monkeypatch)
+    total_ours, metrics = _our_loss_terms(
+        cfg, ref, obs_np, actions, rewards, nonterm)
+    _assert_terms_match(loss_info, metrics, total_ref, total_ours)
 
 
 def test_gru_cell_parity(rng):
