@@ -71,6 +71,22 @@ def conv1d_1x1(sd: Mapping, prefix: str) -> Dict[str, np.ndarray]:
     return out
 
 
+def conv1d_1x1_cols_hwc(sd: Mapping, prefix: str, C: int, H: int, W: int
+                        ) -> Dict[str, np.ndarray]:
+    """1x1 Conv1d whose output channels flatten a (C, H, W) feature map:
+    permute the output columns from torch's (c, h, w) order to (h, w, c)
+    so the consumer's NHWC reshape needs no activation transpose
+    (models/decoders.SoundDecoderV2 up_conversion)."""
+    w = _np(sd[f"{prefix}.weight"])[:, :, 0]          # [out = C*H*W, in]
+    w = (w.reshape(C, H, W, -1).transpose(1, 2, 0, 3)  # rows -> (h, w, c)
+          .reshape(C * H * W, -1))
+    out = {"kernel": w.T}
+    if f"{prefix}.bias" in sd:
+        b = _np(sd[f"{prefix}.bias"])
+        out["bias"] = b.reshape(C, H, W).transpose(1, 2, 0).reshape(-1)
+    return out
+
+
 def norm(sd: Mapping, prefix: str) -> Tuple[Dict, Optional[Dict]]:
     """(params, batch_stats) for Batch/Instance/GroupNorm."""
     params = {
@@ -181,7 +197,8 @@ def sound_encoder_v2(sd: Mapping) -> Tuple[Dict, Dict]:
 
 def sound_decoder_v2(sd: Mapping) -> Tuple[Dict, Dict]:
     """Reference SoundDecoder_v2 -> models/decoders.SoundDecoderV2."""
-    params: Dict[str, Any] = {"up_conversion": conv1d_1x1(sd, "up_conversion")}
+    params: Dict[str, Any] = {"up_conversion": conv1d_1x1_cols_hwc(
+        sd, "up_conversion", C=256, H=32, W=4)}
     stats: Dict[str, Any] = {}
     for i in (0, 1, 2):
         params[f"up{i}_deconv"] = conv_transpose2d(sd, f"up_sample_{i}.0")

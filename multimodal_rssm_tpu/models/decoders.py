@@ -305,11 +305,15 @@ class SoundDecoderV2(DecoderBase):
     def __call__(self, h, s, train: bool = True) -> Dict[str, jnp.ndarray]:
         cb = self.channels_base
         x, T, B = _fold_sh(h, s)
-        # up_conversion: 1x1 conv1d == Dense, no bias (ref :427-432)
+        # up_conversion: 1x1 conv1d == Dense, no bias (ref :427-432).
+        # The kernel's output columns are stored in (h, w, c) order — the
+        # importer permutes torch's (c, h, w) flattening
+        # (torch_import.conv1d_1x1_cols_hwc) — so the NHWC reshape below is
+        # free.  Reshaping torch's order then transposing used to
+        # materialise a 160 MB relayout copy per step (HLO copy profile).
         x = Dense(cb * 2 * 32 * 4, use_bias=False, dtype=self.dtype,
                   name="up_conversion")(x.astype(self.dtype))
-        # torch views channels as NCHW (cb*2, 32, 4); go to NHWC.
-        x = x.reshape(T * B, cb * 2, 32, 4).transpose(0, 2, 3, 1)
+        x = x.reshape(T * B, 32, 4, cb * 2)
         layer_defs = (
             (cb * 4, (3, 4), (1, 1), (1, 1)),
             (cb * 2, (4, 4), (2, 2), (1, 1)),

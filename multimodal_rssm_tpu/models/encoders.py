@@ -59,6 +59,7 @@ from multimodal_rssm_tpu.models.layers import (
     InstanceNorm,
     act_fn,
     glu,
+    tag_conv_out,
     torch_padding,
 )
 
@@ -283,6 +284,38 @@ class PackedWidthConv(nn.Module):
         return tag_conv_out(y)
 
 
+class GroupedDownConversion(nn.Module):
+    """Torch's ``view(N, C*H, W) -> Conv1d(C*H, D, 1)`` (reference
+    encoder.py:700-706) without the NCHW transpose: contracts the (h, c)
+    axes of an NHWC input against the kernel in place.
+
+    Kernel parameter is the plain Dense [C*H, D] matrix (row index
+    c*H + h, exactly torch's channel flattening), so the checkpoint
+    importer's ``conv1d_1x1`` mapping and the parameter tree are unchanged;
+    only the contraction order differs (einsum, no activation relayout).
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        N, H, W, C = x.shape
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (C * H, self.features),
+            self.param_dtype,
+        )
+        # (A full-height VALID-conv formulation of the same contraction was
+        # measured equal within noise — 3.941 vs 3.955 steps/s — so the
+        # simpler einsum stays.)
+        k = kernel.reshape(C, H, self.features)  # free: rows are c*H + h
+        y = jnp.einsum(
+            "nhwc,chd->nwd", x.astype(self.dtype), k.astype(self.dtype)
+        )
+        return tag_conv_out(y)
+
+
 class SoundEncoderV2(nn.Module):
     """StarGAN-VC2-style GLU down-sampling sound encoder (ref :661-721).
 
@@ -322,15 +355,18 @@ class SoundEncoderV2(nn.Module):
             x = glu(x, axis=-1)
 
         # x: [B, 32, 4, cb*2]; torch groups (C, H) into the conv1d channel:
-        # view(-1, cb*64, 4) on NCHW.  Transpose to NCHW order first.
+        # view(-1, cb*64, 4) on NCHW, i.e. conv1d channel k = c*H + h.
+        # Contract (h, c) in place via a grouped einsum instead of
+        # transposing the activation to NCHW: the Dense kernel [C*H, D]
+        # reshapes freely to (C, H, D) because its row index is already
+        # c*H + h.  The explicit transpose used to materialise 2x160 MB
+        # relayout copies per step (HLO copy profile, round 2).
         B = x.shape[0]
-        conversion_channels = cb * 64
-        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(B, conversion_channels, 4)
-        x = jnp.transpose(x, (0, 2, 1))  # NWC for the 1x1 conv1d == Dense
 
-        # down_conversion: 1x1 conv1d -> InstanceNorm1d (no running stats) -> GLU
-        x = Dense(self.embedding_size // 2, use_bias=False, dtype=self.dtype,
-                  name="down_conversion")(x)
+        # down_conversion: grouped 1x1 conv1d -> InstanceNorm1d (no running
+        # stats) -> GLU
+        x = GroupedDownConversion(self.embedding_size // 2, dtype=self.dtype,
+                                  name="down_conversion")(x)
         x = InstanceNorm(track_running_stats=False, dtype=self.dtype,
                          name="down_conversion_norm")(x)
         x = glu(x, axis=-1)

@@ -9,8 +9,10 @@ distributed loss can be compared against the oracle exactly.
 import numpy as np
 
 T, B_LOCAL, A = 4, 2, 3
-SHAPES = {"image_horizon": (3, 16, 16), "sound": (128, 20)}
-NAMES = ("image_horizon", "sound")
+# sound + symbolic pose: no image codec (only 64/84/128/256 exist) keeps the
+# per-worker compile small while still exercising multimodal PoE fusion
+SHAPES = {"pose_quat_v2": (3,), "sound": (128, 20)}
+NAMES = ("pose_quat_v2", "sound")
 
 
 def make_case():
@@ -21,7 +23,7 @@ def make_case():
 
     model = WorldModel(
         observation_names_enc=NAMES,
-        observation_names_rec=("sound",),  # skip image decoder: 16x16 inputs
+        observation_names_rec=("sound",),
         observation_shapes=SHAPES,
         embedding_size={"fusion": 24, "image": 24, "sound": 16, "other": 8},
         activation_function={"cnn": "relu", "dense": "elu", "fusion": "relu"},
@@ -52,13 +54,9 @@ def make_case():
         },
     })
     optimizer = tr.build_optimizer(cfg)
-    # normalise-only aug spec (no buffer): images enter as uint8
-    spec = tr.AugSpec(modalities=(
-        ("image_horizon", tr.ModalityAugSpec(
-            out_size=(16, 16), needs_crop=False, noise=False, pca=False,
-            normalize=True)),
-    ))
-    draws = {"image_horizon": {}}
+    # no image modality -> empty augmentation structure
+    spec = tr.AugSpec(modalities=())
+    draws = {}
     train_step, _ = tr.make_train_step(model, cfg, optimizer, spec)
     return model, cfg, train_step, spec, draws
 
@@ -69,8 +67,7 @@ def local_batch(process_id: int):
 
     rng = np.random.default_rng(100 + process_id)
     obs = {
-        "image_horizon": rng.integers(
-            0, 256, size=(T, B_LOCAL, 16, 16, 3)).astype(np.uint8),
+        "pose_quat_v2": rng.normal(size=(T, B_LOCAL, 3)).astype(np.float32),
         "sound": rng.normal(size=(T, B_LOCAL, 128, 20)).astype(np.float32),
     }
     actions = rng.normal(size=(T, B_LOCAL, A)).astype(np.float32)
@@ -101,7 +98,7 @@ def oracle_state(model, cfg):
     optimizer = tr.build_optimizer(cfg)
     obs, actions, rewards, nonterm = local_batch(0)
     prep = {
-        "image_horizon": jnp.zeros((T, B_LOCAL, 16, 16, 3), jnp.float32),
+        "pose_quat_v2": jnp.asarray(obs["pose_quat_v2"]),
         "sound": jnp.asarray(obs["sound"]),
     }
     return tr.init_train_state(

@@ -157,3 +157,38 @@ def test_streaming_filter_matches_sequence(small_model_and_vars, tiny_cfg,
     recon = filt.decode()
     for name, out in recon.items():
         assert np.all(np.isfinite(np.asarray(out["loc"])))
+
+
+def test_check_model_artifact_helpers(rng, tmp_path):
+    """The analysis-script artifact writers (scripts/check_model.py):
+    multi-episode PCA plot + per-expert distribution artifacts render from
+    synthetic state dicts (notebook cells 25-29 / 39-48 surface)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import check_model
+
+    out = str(tmp_path)
+    # 3 episodes of 3-D PCA projections
+    projs = [rng.normal(size=(20, 3)).astype(np.float32) for _ in range(3)]
+    check_model._plot_pca(out, projs, projs)
+    assert os.path.exists(os.path.join(out, "pca_latents.png"))
+
+    T, B, S, K = 12, 1, 6, 3  # K = prior_expert + 2 modalities
+    names = ("prior_expert", "image_horizon", "sound")
+    means = rng.normal(size=(T, K, B, S)).astype(np.float32)
+    stds = rng.uniform(0.1, 1.0, size=(T, K, B, S)).astype(np.float32)
+    states = {
+        "expert_means": {n: means[:, i] for i, n in enumerate(names)},
+        "expert_std_devs": {n: stds[:, i] for i, n in enumerate(names)},
+        "expert_means_stacked": means,
+        "expert_std_devs_stacked": stds,
+    }
+    check_model._save_expert_artifacts(out, states)
+    assert os.path.exists(os.path.join(out, "expert_distributions.png"))
+    blob = np.load(os.path.join(out, "expert_distributions.npy"),
+                   allow_pickle=True).item()
+    assert set(blob["expert_means"]) == set(names)
+    assert len(blob["subset_means"]) == 2 ** (K - 1)  # subsets of modalities
+    assert blob["subset_means"][0].shape == (T, S)
