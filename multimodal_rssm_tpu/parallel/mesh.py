@@ -54,27 +54,61 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def param_spec(path_unused, leaf, n_model: int) -> P:
-    """Partition spec for one parameter leaf under the ``model`` axis:
-    matrices whose last dim divides the model-axis size are column-sharded
-    (output-feature sharding of the wide GRU/head matmuls — each device
-    computes a slice of the output features; XLA inserts the all-gathers
-    where a replicated value is needed).  Everything else is replicated."""
-    if n_model > 1 and leaf.ndim >= 2 and leaf.shape[-1] % n_model == 0:
+# Minimum output features per model shard: one MXU/VPU lane tile.  A shard
+# narrower than the 128-lane tile pads every matmul it feeds to 128 anyway,
+# so sharding below this width costs collectives without saving compute.
+MIN_SHARD_WIDTH = 128
+
+
+def param_spec(path, leaf, n_model: int,
+               min_width: int = MIN_SHARD_WIDTH) -> P:
+    """Partition spec for one parameter leaf under the ``model`` axis.
+
+    Megatron-style output-feature (column) sharding, applied conservatively:
+
+    - only ``kernel`` leaves are candidates — biases, norm scales and other
+      1-D/stat leaves stay replicated (tiny; XLA broadcasts them for free);
+    - the output-feature (last) dim must divide the model-axis size AND
+      leave each shard at least ``min_width`` lanes wide, so small matrices
+      (e.g. a [4, 4] kernel whose trailing dim happens to divide
+      ``n_model``) are never sharded;
+    - each device then computes a slice of the output features of the wide
+      GRU/head matmuls; XLA's sharding propagation inserts the all-gathers
+      where a replicated value is needed.
+
+    ``path`` is a ``tree_map_with_path`` key path; optimizer-state trees
+    (Adam mu/nu) mirror the param tree, so their moment leaves match the
+    same rules and land on the same shards as their parameters.
+    """
+    name = None
+    if path:
+        tail = path[-1]
+        name = getattr(tail, "key", None) or getattr(tail, "name", None)
+    if (
+        n_model > 1
+        and name == "kernel"
+        and leaf.ndim >= 2
+        and leaf.shape[-1] % n_model == 0
+        and leaf.shape[-1] // n_model >= min_width
+    ):
         return P(*([None] * (leaf.ndim - 1) + [MODEL_AXIS]))
     return P()
 
 
-def shard_params(params, mesh: Mesh):
-    """device_put parameters with model-axis sharding where profitable."""
+def shard_params(params, mesh: Mesh, min_width: int = MIN_SHARD_WIDTH):
+    """device_put parameters with model-axis sharding where profitable.
+
+    ``min_width`` exists for tiny-shape tests/dryruns that still want to
+    exercise the tensor-parallel path; production callers use the default.
+    """
     n_model = mesh.shape.get(MODEL_AXIS, 1)
 
-    def _put(leaf):
+    def _put(path, leaf):
         return jax.device_put(
-            leaf, NamedSharding(mesh, param_spec(None, leaf, n_model))
+            leaf, NamedSharding(mesh, param_spec(path, leaf, n_model, min_width))
         )
 
-    return jax.tree_util.tree_map(_put, params)
+    return jax.tree_util.tree_map_with_path(_put, params)
 
 
 def shard_batch(batch, mesh: Mesh, batch_dim: int = 1):
