@@ -253,6 +253,89 @@ def prepare_observations(
     return out
 
 
+# -- gradient accumulation ------------------------------------------------
+
+
+def resolve_grad_accum(cfg) -> int:
+    """``train.grad_accum``: number of microbatches the train step splits the
+    batch into (1 = off).  Exact by construction — every loss term reduces as
+    a mean over (T, B) with batch-independent masks (losses/elbo.py,
+    losses/overshoot.py), so the average of equal-size microbatch gradients
+    IS the full-batch gradient.  Use it to fit batch sizes whose one-shot
+    program exceeds HBM or this container's compile-service limits
+    (DESIGN.md "Large-batch scaling"): the scan body compiles once at
+    microbatch scale."""
+    raw = cfg.train.get("grad_accum", 1)
+    accum = 1 if raw is None else int(raw)
+    if accum < 1:
+        raise ValueError(f"train.grad_accum={accum} must be >= 1")
+    return accum
+
+
+def _slice_microbatch(batch, start: int, size: int):
+    """Slice every leaf's batch axis (axis 1: [L, B, ...])."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.dynamic_slice_in_dim(x, start, size, axis=1), batch
+    )
+
+
+def accumulated_value_and_grad(loss_fn, params, batch_stats, batch, key,
+                               accum: int):
+    """value_and_grad of ``loss_fn`` over ``accum`` equal microbatches.
+
+    The (already prepared) batch is sliced along axis 1 so augmentation
+    semantics are identical to the unaccumulated step (batch-wide crop /
+    noise-scale / PCA draws are shared).  Gradients and metrics are averaged
+    (exact: all reductions are batch means); batch_stats (BatchNorm running
+    stats) thread sequentially through the microbatches — a smaller-batch
+    EMA of the same statistics (deviation D15).  ``key=None`` takes the
+    deterministic Python-loop path used by the exactness tests.
+    """
+    B = jax.tree_util.tree_leaves(batch)[0].shape[1]
+    if B % accum != 0:
+        raise ValueError(
+            f"batch size {B} not divisible by train.grad_accum={accum}")
+    mb = B // accum
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    if key is None:  # deterministic path (parity/exactness tests)
+        gacc = None
+        stats = batch_stats
+        loss_sum = 0.0
+        ms = []
+        for i in range(accum):
+            (loss, (stats, m)), g = grad_fn(
+                params, stats, _slice_microbatch(batch, i * mb, mb), None, True
+            )
+            gacc = g if gacc is None else jax.tree_util.tree_map(
+                jnp.add, gacc, g)
+            loss_sum = loss_sum + loss
+            ms.append(m)
+        grads = jax.tree_util.tree_map(lambda x: x / accum, gacc)
+        metrics = jax.tree_util.tree_map(
+            lambda *xs: jnp.mean(jnp.stack(xs), axis=0), *ms)
+        return (loss_sum / accum, (stats, metrics)), grads
+
+    def body(carry, xs):
+        gacc, stats, loss_sum = carry
+        i, k = xs
+        (loss, (stats, m)), g = grad_fn(
+            params, stats, _slice_microbatch(batch, i * mb, mb), k, True
+        )
+        gacc = jax.tree_util.tree_map(jnp.add, gacc, g)
+        return (gacc, stats, loss_sum + loss), m
+
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    (gacc, new_stats, loss_sum), ms = jax.lax.scan(
+        body,
+        (zeros, batch_stats, jnp.zeros((), jnp.float32)),
+        (jnp.arange(accum), jax.random.split(key, accum)),
+    )
+    grads = jax.tree_util.tree_map(lambda x: x / accum, gacc)
+    metrics = jax.tree_util.tree_map(lambda x: jnp.mean(x, axis=0), ms)
+    return (loss_sum / accum, (new_stats, metrics)), grads
+
+
 # -- loss assembly --------------------------------------------------------
 
 
@@ -405,6 +488,7 @@ def make_train_step(model: WorldModel, cfg, optimizer, aug_spec: AugSpec):
     loss_fn = make_loss_fn(model, cfg)
     bit_depth = int(cfg.env.bit_depth)
     use_pallas = pallas_normalize_enabled(cfg)
+    accum = resolve_grad_accum(cfg)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, raw_batch, aug_draws, key):
@@ -416,10 +500,16 @@ def make_train_step(model: WorldModel, cfg, optimizer, aug_spec: AugSpec):
         )
         batch = (observations, actions, rewards, nonterminals)
 
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (loss, (new_stats, metrics)), grads = grad_fn(
-            state.params, state.batch_stats, batch, key_loss, True
-        )
+        if accum > 1:
+            (loss, (new_stats, metrics)), grads = accumulated_value_and_grad(
+                loss_fn, state.params, state.batch_stats, batch, key_loss,
+                accum,
+            )
+        else:
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (loss, (new_stats, metrics)), grads = grad_fn(
+                state.params, state.batch_stats, batch, key_loss, True
+            )
         updates, new_opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )
@@ -490,6 +580,7 @@ def make_device_resident_steps(model: WorldModel, cfg, optimizer,
     bit_depth = int(cfg.env.bit_depth)
     use_pallas = pallas_normalize_enabled(cfg)
     obs_names = tuple(observation_names)
+    accum = resolve_grad_accum(cfg)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, buffer_arrays, idxs, aug_draws, key):
@@ -502,10 +593,16 @@ def make_device_resident_steps(model: WorldModel, cfg, optimizer,
             pallas_normalize=use_pallas,
         )
         batch = (observations, actions, rewards, nonterminals)
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (loss, (new_stats, metrics)), grads = grad_fn(
-            state.params, state.batch_stats, batch, key_loss, True
-        )
+        if accum > 1:
+            (loss, (new_stats, metrics)), grads = accumulated_value_and_grad(
+                loss_fn, state.params, state.batch_stats, batch, key_loss,
+                accum,
+            )
+        else:
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (loss, (new_stats, metrics)), grads = grad_fn(
+                state.params, state.batch_stats, batch, key_loss, True
+            )
         updates, new_opt_state = optimizer.update(grads, state.opt_state,
                                                   state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -72,7 +72,18 @@ def main():
     assert leaf.shape[1] == B_LOCAL * num_processes, leaf.shape
 
     key = jax.random.PRNGKey(7)
-    new_state, metrics = train_step(state, gbatch, draws, key)
+
+    # Compile BEFORE the first collective executes, then rendezvous at the
+    # coordination-service barrier: Gloo's context init gives the peer only
+    # ~30s to show up, and compile skew between ranks (cold or
+    # machine-mismatched persistent cache on a 1-core box) can exceed that.
+    compiled = train_step.lower(state, gbatch, draws, key).compile()
+    from jax._src import distributed  # coordination KV store, no collectives
+
+    distributed.global_state.client.wait_at_barrier(
+        "multihost_feed_after_compile", timeout_in_ms=600_000)
+
+    new_state, metrics = compiled(state, gbatch, draws, key)
     loss = metrics["loss"]
     assert loss.sharding.is_fully_replicated
     loss = float(loss)
