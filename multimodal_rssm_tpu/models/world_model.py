@@ -71,6 +71,7 @@ class WorldModel(nn.Module):
     # dense through (RSSM/algo.py:18-19).  from_config replicates this.
     core_activation: Optional[str] = None
     min_std_dev: float = 0.1
+    scan_unroll: int = 1
     dtype: Dtype = jnp.float32
     # True: full remat everywhere; False: nowhere; "decoders": decoders
     # only (encoder activations are small enough to keep; the decoder
@@ -145,6 +146,7 @@ class WorldModel(nn.Module):
             activation_function=(self.core_activation
                                  or self.activation_function["dense"]),
             min_std_dev=self.min_std_dev,
+            scan_unroll=self.scan_unroll,
             dtype=self.dtype,
         )
 
@@ -379,6 +381,7 @@ class WorldModel(nn.Module):
             # rssm.core_activation overrides for users who want dense.
             core_activation=(rssm.get("core_activation")
                              or ("relu" if multimodal else None)),
+            scan_unroll=int(rssm.get("scan_unroll", 1) or 1),
             dtype=dtype,
             remat=_check_remat(rssm.get("remat", True)),
         )

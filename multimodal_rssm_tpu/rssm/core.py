@@ -188,6 +188,10 @@ class RSSMCore(nn.Module):
     activation_function: str = "elu"
     min_std_dev: float = 0.1
     dtype: Dtype = jnp.float32
+    # lax.scan unroll factor for the time loop (cfg.rssm.scan_unroll).
+    # >1 replicates the cell body inside the compiled while-loop so XLA can
+    # schedule/fuse across adjacent timesteps at the cost of program size.
+    scan_unroll: int = 1
 
     def setup(self):
         scan = nn.scan(
@@ -196,6 +200,7 @@ class RSSMCore(nn.Module):
             split_rngs={"params": False},
             in_axes=0,
             out_axes=0,
+            unroll=int(self.scan_unroll),
         )
         self.cell = scan(
             belief_size=self.belief_size,

@@ -27,6 +27,10 @@ VARIANTS = {
     "poe": ["rssm.multimodal_params.fusion_method=PoE"],
     "nonorm": ["rssm.normalization=None"],
     "groupnorm": ["rssm.normalization=GroupNorm"],
+    # lax.scan unroll factor for the 49-step time loop (rssm.scan_unroll)
+    "unroll2": ["rssm.scan_unroll=2"],
+    "unroll7": ["rssm.scan_unroll=7"],
+    "unroll49": ["rssm.scan_unroll=49"],
 }
 
 

@@ -100,3 +100,40 @@ def test_draw_target_discriminator(rng):
     ce = dec.apply(v, h, s, onehot, method=dec.get_log_prob)
     assert ce.shape == (3, 2, 4)
     assert np.isfinite(np.asarray(ce)).all()
+
+
+def test_scan_unroll_equivalent(tiny_cfg, tiny_buffer):
+    """rssm.scan_unroll only changes how XLA schedules the time loop
+    (lax.scan unroll=k replicates the cell body); same seeds must give the
+    same training trajectory.  Measured perf-neutral on v5e at reference
+    scale (DESIGN.md negative results) but kept plumbed; this pins the
+    exactness contract so the knob can never drift the math."""
+    key = jax.random.PRNGKey(0)
+    B, L = int(tiny_cfg.train.batch_size), int(tiny_cfg.train.chunk_size)
+    obs, act, rew, nt = tiny_buffer.sample(B, L)
+    raw = ({k: jnp.asarray(v) for k, v in obs.items()},
+           jnp.asarray(act), jnp.asarray(rew), jnp.asarray(nt))
+    spec = tr.build_aug_spec(tiny_buffer)
+    draw = tr.HostAugmentDraws(tiny_buffer, spec).draw()
+
+    def run(cfg):
+        model = WorldModel.from_config(cfg)
+        optimizer = tr.build_optimizer(cfg)
+        train_step, _ = tr.make_train_step(model, cfg, optimizer, spec)
+        prep = tr.prepare_observations(raw[0], spec, draw,
+                                       int(cfg.env.bit_depth), key)
+        state = tr.init_train_state(model, cfg, optimizer, key,
+                                    (prep, raw[1], raw[2], raw[3]))
+        metrics = None
+        for i in range(2):
+            state, metrics = train_step(state, raw, draw,
+                                        jax.random.fold_in(key, i))
+        return {k: float(v) for k, v in metrics.items()}
+
+    unrolled = copy.deepcopy(tiny_cfg)
+    unrolled.rssm.scan_unroll = 7  # chunk 8 -> T-1 = 7: full unroll
+    m_base = run(copy.deepcopy(tiny_cfg))
+    m_unroll = run(unrolled)
+    for k in m_base:
+        np.testing.assert_allclose(m_unroll[k], m_base[k], rtol=1e-4,
+                                   atol=1e-5, err_msg=k)
