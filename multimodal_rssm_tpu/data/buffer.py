@@ -117,10 +117,18 @@ class ExperienceReplay:
         return self.gather(self.sample_indices(n, L), n, L)
 
     # -- ingest -----------------------------------------------------------
-    def append(self, observation, action, reward, done):
-        """Online single-step append (ref memory.py:225-238)."""
+    def append(self, observation, action, reward, done, raw=False):
+        """Online single-step append (ref memory.py:225-238).
+
+        ``raw=False`` (ref semantics): images arrive normalized float and
+        are re-quantized for uint8 storage.  ``raw=True``: images arrive
+        as uint8 HWC frames straight from an environment
+        (multimodal_rssm_tpu/envs/) and are stored as-is — note the frame
+        must already match the stored shape, i.e. carry the crop margin
+        when ``n_crop > 1`` (the shipped configs use n_crop=1: no margin).
+        """
         for name in self.observation_names:
-            if "image" in name:
+            if "image" in name and not raw:
                 self.observations[name][self.idx] = reverse_normalized_image(
                     observation[name], self.bit_depth
                 )

@@ -36,6 +36,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from multimodal_rssm_tpu.core.runtime import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from multimodal_rssm_tpu.core.config import load_run_config
     from multimodal_rssm_tpu.eval import imagination, state_estimation, visualize
     from multimodal_rssm_tpu.models.world_model import WorldModel

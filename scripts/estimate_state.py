@@ -48,6 +48,9 @@ def main():
     parser.add_argument("--targets", default="eval_targets")
     parser.add_argument("--itr", type=int, default=10_000)
     args = parser.parse_args()
+    from multimodal_rssm_tpu.core.runtime import enable_persistent_cache
+
+    enable_persistent_cache()
     multi_run(args.targets, args.itr)
 
 

@@ -45,7 +45,10 @@ def main():
 
         jax.config.update("jax_platforms", args.platform)
 
+    from multimodal_rssm_tpu.core.runtime import enable_persistent_cache
     from multimodal_rssm_tpu.train.loop import run
+
+    enable_persistent_cache()
 
     if args.resume:
         if args.seeds:

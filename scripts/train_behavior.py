@@ -43,6 +43,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from multimodal_rssm_tpu.core.runtime import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from multimodal_rssm_tpu.core.config import apply_overrides, load_run_config
     from multimodal_rssm_tpu.data.device_buffer import DeviceReplay, gather_batch
     from multimodal_rssm_tpu.eval.state_estimation import load_model_variables
