@@ -43,11 +43,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from multimodal_rssm_tpu.core.runtime import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from multimodal_rssm_tpu.core.config import compose
     from multimodal_rssm_tpu.data.buffer import build_buffer

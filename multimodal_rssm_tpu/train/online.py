@@ -37,6 +37,7 @@ from multimodal_rssm_tpu.train import behavior as bh
 from multimodal_rssm_tpu.train import trainer as tr
 from multimodal_rssm_tpu.train.agent import LatentAgent
 from multimodal_rssm_tpu.train.loop import _device_batch
+from multimodal_rssm_tpu.train.prefetch import Prefetcher
 
 
 ONLINE_DEFAULTS = {
@@ -74,7 +75,15 @@ def collect_episode(env, D, agent: Optional[LatentAgent], wm_variables,
                     actor_params, key, rng, seed: int,
                     explore: bool = True) -> Dict[str, float]:
     """One episode into the buffer.  ``agent=None``: uniform random policy
-    (the seed phase).  Observations are appended raw (uint8 frames)."""
+    (the seed phase).  Observations are appended raw (uint8 frames).
+
+    Row convention matches the reference datasets: row t = (o_t, a_t, r_t)
+    where a_t is the action taken FROM o_t (the COBOTTA ``d_pose`` channels
+    are forward differences, pose_processing.py — data/pose.py:116-121),
+    which is exactly the (actions[:-1], obs[1:]) pairing the trainer scans
+    (ref base/algo.py:234-242).  The terminal observation is dropped, like
+    the dataset builder's episodes.
+    """
     obs = env.reset(seed=seed)
     if agent is not None:
         agent.reset()
@@ -87,8 +96,9 @@ def collect_episode(env, D, agent: Optional[LatentAgent], wm_variables,
             key, k = jax.random.split(key)
             action = agent(wm_variables, actor_params, obs, k,
                            explore=explore)
-        obs, reward, done = env.step(action)
+        next_obs, reward, done = env.step(action)
         D.append(obs, action, reward, done, raw=True)
+        obs = next_obs
         total_reward += float(reward)
         steps += 1
     return {"episode_reward": total_reward, "episode_steps": float(steps)}
@@ -116,7 +126,7 @@ def run_online(cfg, env, results_dir: str, logger, key,
     model = WorldModel.from_config(cfg, dtype=tr.compute_dtype(cfg))
     optimizer = tr.build_optimizer(cfg)
     aug_spec = tr.build_aug_spec(D)
-    draws = tr.HostAugmentDraws(D, aug_spec)
+    draws = tr.HostAugmentDraws(D, aug_spec, seed=seed)
     train_step, _ = tr.make_train_step(model, cfg, optimizer, aug_spec)
 
     key, init_key, prep_key = jax.random.split(key, 3)
@@ -144,15 +154,24 @@ def run_online(cfg, env, results_dir: str, logger, key,
     updates = int(o.collect_interval)
     wm_metrics = bh_metrics = {}
     for episode in range(1, episodes + 1):
-        for _ in range(updates):
-            key, k1, k2 = jax.random.split(key, 3)
-            state, wm_metrics = train_step(
-                state, _device_batch(D.sample(B, L)), draws.draw(), k1)
-            wm_variables = {"params": state.params,
-                            "batch_stats": state.batch_stats}
-            bstate, bh_metrics = behavior_step(
-                bstate, wm_variables, _device_batch(D.sample(B, L)),
-                draws.draw(), k2)
+        # Overlap host gather + upload with device compute during the
+        # update block (same pattern as train/loop.py:138); the prefetcher
+        # is closed before collection so no sampler thread races the
+        # buffer's append-time ring writes.
+        prefetcher = Prefetcher(lambda: _device_batch(D.sample(B, L)),
+                                depth=2)
+        try:
+            for _ in range(updates):
+                key, k1, k2 = jax.random.split(key, 3)
+                state, wm_metrics = train_step(
+                    state, prefetcher.get(), draws.draw(), k1)
+                wm_variables = {"params": state.params,
+                                "batch_stats": state.batch_stats}
+                bstate, bh_metrics = behavior_step(
+                    bstate, wm_variables, prefetcher.get(),
+                    draws.draw(), k2)
+        finally:
+            prefetcher.close()
 
         key, k = jax.random.split(key)
         wm_variables = {"params": state.params,

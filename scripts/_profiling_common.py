@@ -11,11 +11,9 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def enable_compile_cache():
-    import jax
+    from multimodal_rssm_tpu.core.runtime import enable_persistent_cache
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(_REPO, ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    enable_persistent_cache()
 
 
 def build_step_setup(batch_size: int, chunk_size: int, overrides=()):

@@ -49,18 +49,26 @@ from multimodal_rssm_tpu.envs.peg import (  # noqa: E402,F401  (re-exported
 
 
 def collect_episode(length, seed, substeps=10, render_size=64):
-    """One scripted-policy episode in the COBOTTA episode schema."""
+    """One scripted-policy episode in the COBOTTA episode schema.
+
+    Row convention matches the reference datasets: row t = (o_t, a_t, r_t)
+    with a_t taken FROM o_t — the COBOTTA ``d_pose`` channels are forward
+    differences (pose_processing.py; multimodal_rssm_tpu/data/pose.py:
+    116-121), which is the (actions[:-1], obs[1:]) pairing the trainer
+    scans.  The terminal observation is dropped.
+    """
     env = PegInsertionEnv(length=length, substeps=substeps,
                           render_size=render_size, seed=seed)
     rng = np.random.default_rng(seed)
 
+    obs = env.reset(seed=seed)
     obs_lists = {name: [] for name in env.observation_names}
     acts, rewards, dones = [], [], []
     for _ in range(length):
         action = env.scripted_action(rng)
-        obs, reward, done = env.step(action)
         for name in env.observation_names:
             obs_lists[name].append(obs[name])
+        obs, reward, done = env.step(action)
         acts.append(action)
         rewards.append(reward)
         dones.append(float(done))

@@ -17,10 +17,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
-)
+from multimodal_rssm_tpu.core.runtime import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
 
 from multimodal_rssm_tpu.ops import fused_codec  # noqa: E402
 from tests.test_fused_codec import ref_conv_in_glu  # noqa: E402

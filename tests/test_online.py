@@ -152,3 +152,52 @@ def test_latent_agent_carries_state(online_cfg_tiny):
     assert np.all(np.abs(a2) <= 1.0)
     h_third = np.asarray(agent.h)
     assert not np.allclose(h_after, h_third)
+
+
+class _CounterEnv:
+    """Probe env: sound[0, 0] encodes the frame index so the buffer row
+    convention is directly observable."""
+
+    observation_names = ("image_horizon", "sound")
+    action_size = 3
+
+    def __init__(self, length=6):
+        self.length = length
+
+    def reset(self, seed=None):
+        self.t = 0
+        return self._obs()
+
+    def step(self, action):
+        self.t += 1
+        return self._obs(), float(self.t), self.t >= self.length
+
+    def _obs(self):
+        sound = np.zeros((128, 20), np.float32)
+        sound[0, 0] = float(self.t)
+        return {"image_horizon": np.zeros((64, 64, 3), np.uint8),
+                "sound": sound}
+
+
+def test_collect_episode_row_convention(online_cfg_tiny):
+    """Row t must hold the PRE-step observation with the action taken from
+    it (the reference d_pose channels are forward differences,
+    data/pose.py:116-121) — the (actions[:-1], obs[1:]) pairing the
+    trainer scans.  The terminal observation is dropped."""
+    from multimodal_rssm_tpu.data.buffer import build_buffer
+    from multimodal_rssm_tpu.train.online import collect_episode
+
+    cfg = online_cfg_tiny
+    D = build_buffer(cfg)
+    env = _CounterEnv(length=6)
+    m = collect_episode(env, D, None, None, None, None,
+                        np.random.default_rng(0), seed=0)
+    assert m["episode_steps"] == 6.0
+    counters = D.observations["sound"][:6, 0, 0]
+    np.testing.assert_array_equal(counters, np.arange(6, dtype=np.float32))
+    # rewards align with the transition taken from row t
+    np.testing.assert_array_equal(D.rewards[:6],
+                                  np.arange(1, 7, dtype=np.float32))
+    # terminal flag on the last row only
+    np.testing.assert_array_equal(D.nonterminals[:6, 0],
+                                  [1, 1, 1, 1, 1, 0])
