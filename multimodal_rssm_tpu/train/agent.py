@@ -58,7 +58,7 @@ class LatentAgent:
         noise_scale = self.action_noise
 
         def step(wm_variables, actor_params, h, s, prev_action, obs, key,
-                 explore: bool):
+                 explore: bool, det: bool):
             k_prep, k_act, k_noise = jax.random.split(key, 3)
             obs = {k: v[None, None] for k, v in obs.items()}  # [T=1, B=1,…]
             prepared = tr.prepare_observations(obs, spec, draws, bit_depth,
@@ -70,7 +70,10 @@ class LatentAgent:
             )
             h2 = states["beliefs"]
             s2 = states["posterior_means"]
-            action = actor.apply({"params": actor_params}, h2, s2, k_act)
+            # det=True: the reference ActorModel's 100-sample mode-seeking
+            # action (policy.py:103-138) — the greedy evaluation policy
+            action = actor.apply({"params": actor_params}, h2, s2, k_act,
+                                 det=det)
             if explore and noise_scale > 0.0:
                 action = action + noise_scale * jax.random.normal(
                     k_noise, action.shape, jnp.float32
@@ -78,11 +81,11 @@ class LatentAgent:
                 action = jnp.clip(action, -1.0, 1.0)
             return h2, s2, action
 
-        return jax.jit(step, static_argnames=("explore",))
+        return jax.jit(step, static_argnames=("explore", "det"))
 
     def __call__(self, wm_variables, actor_params,
                  obs: Dict[str, np.ndarray], key,
-                 explore: bool = False) -> np.ndarray:
+                 explore: bool = False, det: bool = False) -> np.ndarray:
         """Incorporate one observation frame and return the action [A].
 
         Extra modalities the model does not encode are tolerated (the
@@ -90,7 +93,7 @@ class LatentAgent:
         obs = {k: jnp.asarray(np.asarray(v)) for k, v in obs.items()}
         self.h, self.s, action = self._step(
             wm_variables, actor_params, self.h, self.s, self.prev_action,
-            obs, key, explore,
+            obs, key, explore, det,
         )
         self.prev_action = action
         return np.asarray(jax.device_get(action))[0]

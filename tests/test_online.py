@@ -201,3 +201,41 @@ def test_collect_episode_row_convention(online_cfg_tiny):
     # terminal flag on the last row only
     np.testing.assert_array_equal(D.nonterminals[:6, 0],
                                   [1, 1, 1, 1, 1, 0])
+
+
+def test_evaluate_policy(online_cfg_tiny):
+    """Greedy policy eval: N episodes, finite returns, det actions in the
+    tanh range (exercises the reference actor's mode-seeking det path)."""
+    from multimodal_rssm_tpu.data.buffer import build_buffer
+    from multimodal_rssm_tpu.eval.policy import evaluate_policy
+    from multimodal_rssm_tpu.eval.state_estimation import fixed_draws
+    from multimodal_rssm_tpu.models.world_model import WorldModel
+    from multimodal_rssm_tpu.train import behavior as bh
+    from multimodal_rssm_tpu.train import trainer as tr
+
+    cfg = online_cfg_tiny
+    env = SyntheticEnv(length=3, seed=0)
+    D = build_buffer(cfg)
+    model = WorldModel.from_config(cfg)
+    key = jax.random.PRNGKey(0)
+    obs = env.reset(seed=0)
+    chunk = {k: np.stack([v, v])[:, None] for k, v in obs.items()}
+    spec = tr.build_aug_spec(D)
+    prep = tr.prepare_observations(
+        {k: jax.numpy.asarray(v) for k, v in chunk.items()},
+        spec, fixed_draws(D, spec), int(cfg.env.bit_depth), key)
+    actions = np.zeros((2, 1, int(cfg.env.action_size)), np.float32)
+    nt = np.ones((2, 1, 1), np.float32)
+    variables = model.init(key, prep, jax.numpy.asarray(actions),
+                           jax.numpy.asarray(nt), key)
+
+    actor, _ = bh.build_policy_models(cfg)
+    h = jax.numpy.zeros((1, int(cfg.rssm.belief_size)))
+    s = jax.numpy.zeros((1, int(cfg.rssm.state_size)))
+    actor_params = actor.init(key, h, s, key)["params"]
+
+    stats = evaluate_policy(cfg, env, model, variables, actor,
+                            actor_params, episodes=2, seed=1, det=True)
+    assert len(stats["returns"]) == 2
+    assert np.isfinite(stats["mean_return"])
+    assert stats["mean_steps"] == 3.0
