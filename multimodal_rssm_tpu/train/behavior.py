@@ -57,6 +57,11 @@ class BehaviorState(struct.PyTreeNode):
 BEHAVIOR_DEFAULTS = {
     # imagination horizon H (Dreamer: 15)
     "horizon": 15,
+    # imagination starts per step: None = every posterior state of the
+    # batch rollout (Dreamer's choice, (L-1)*B = 2450 at reference scale);
+    # an int subsamples that many starts uniformly per step — cheaper
+    # behavior updates at the cost of gradient variance (A/B in DESIGN.md)
+    "imag_batch": None,
     "discount": 0.99,
     # TD(lambda) mixing for the value targets (Dreamer: 0.95)
     "disclam": 0.95,
@@ -185,6 +190,7 @@ def make_behavior_step(model: WorldModel, cfg, actor: ActorModel,
     horizon = int(b.horizon)
     discount = float(b.discount)
     lam = float(b.disclam)
+    imag_batch = None if b.imag_batch is None else int(b.imag_batch)
     bit_depth = int(cfg.env.bit_depth)
     use_pallas = tr.pallas_normalize_enabled(cfg)
 
@@ -223,7 +229,7 @@ def make_behavior_step(model: WorldModel, cfg, actor: ActorModel,
     def behavior_step(bstate: BehaviorState, wm_variables, raw_batch,
                       aug_draws, key):
         observations, actions, rewards_b, nonterminals = raw_batch
-        key_prep, key_post, key_img = jax.random.split(key, 3)
+        key_prep, key_post, key_img, key_sub = jax.random.split(key, 4)
         observations = tr.prepare_observations(
             observations, aug_spec, aug_draws, bit_depth, key_prep,
             pallas_normalize=use_pallas,
@@ -243,6 +249,9 @@ def make_behavior_step(model: WorldModel, cfg, actor: ActorModel,
         s0 = jax.lax.stop_gradient(
             states["posterior_states"].reshape(
                 -1, states["posterior_states"].shape[-1]))
+        if imag_batch is not None and imag_batch < h0.shape[0]:
+            idx = jax.random.permutation(key_sub, h0.shape[0])[:imag_batch]
+            h0, s0 = h0[idx], s0[idx]
 
         (actor_loss, aux), actor_grads = jax.value_and_grad(
             actor_loss_fn, has_aux=True)(

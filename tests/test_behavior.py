@@ -202,3 +202,26 @@ def test_behavior_checkpoint_roundtrip(behavior_setup, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(s["bstate"]),
                     jax.tree_util.tree_leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_imag_batch_subsampling(behavior_setup):
+    """behavior.imag_batch subsamples the imagination starts; the step
+    still runs and both networks move."""
+    import copy as _copy
+
+    from multimodal_rssm_tpu.train import behavior as bh
+
+    s = behavior_setup
+    cfg = _copy.deepcopy(s["cfg"])
+    cfg.behavior.imag_batch = 8  # < (L-1)*B starts
+    step_fn = bh.make_behavior_step(s["model"], cfg, s["actor"], s["value"],
+                                    s["actor_opt"], s["value_opt"],
+                                    s["spec"])
+    bstate = jax.tree_util.tree_map(jnp.array, s["bstate"])
+    new_state, metrics = step_fn(bstate, s["wm_variables"], s["raw"],
+                                 s["draws"].draw(), jax.random.PRNGKey(5))
+    for k, v in jax.device_get(metrics).items():
+        assert np.isfinite(v), (k, v)
+    a0 = jax.tree_util.tree_leaves(s["bstate"])[1]
+    a1 = jax.tree_util.tree_leaves(new_state)[1]
+    assert not np.allclose(np.asarray(a0), np.asarray(a1))

@@ -274,3 +274,64 @@ def test_histogram_logging_nonfinite(tmp_path):
     assert rec["grads_core/hist"]["nonfinite"] == 2
     assert rec["grads_core/hist"]["count"] == 4
     assert rec["grads_dead/hist"] == {"count": 2, "nonfinite": 2}
+
+
+def test_behavior_step_dp_sharded_matches_single(tiny_cfg, tiny_buffer):
+    """The behavior (actor-critic-in-imagination) step is mesh-compatible:
+    a batch sharded over the data axis reproduces the single-device update
+    (XLA inserts the gradient all-reduces; imagination starts are the
+    flattened (T-1)*B posterior states, so they shard with the batch)."""
+    from multimodal_rssm_tpu.train import behavior as bh
+
+    cfg = copy.deepcopy(tiny_cfg)
+    cfg.train.batch_size = 8
+    cfg.train.chunk_size = 6
+    bh.behavior_cfg(cfg)
+    cfg.behavior.horizon = 3
+
+    model = WorldModel.from_config(cfg)
+    optimizer = tr.build_optimizer(cfg)
+    spec = tr.build_aug_spec(tiny_buffer)
+
+    key = jax.random.PRNGKey(0)
+    rng_save = tiny_buffer.rng
+    tiny_buffer.rng = np.random.default_rng(4321)
+    try:
+        obs, act, rew, nt = tiny_buffer.sample(8, 6)
+    finally:
+        tiny_buffer.rng = rng_save
+    raw = ({k: jnp.asarray(v) for k, v in obs.items()},
+           jnp.asarray(act), jnp.asarray(rew), jnp.asarray(nt))
+    draws = tr.HostAugmentDraws(tiny_buffer, spec).draw()
+    prep = tr.prepare_observations(raw[0], spec, draws,
+                                   int(cfg.env.bit_depth), key)
+    wm_state = tr.init_train_state(model, cfg, optimizer, key,
+                                   (prep, raw[1], raw[2], raw[3]))
+    wm_variables = {"params": wm_state.params,
+                    "batch_stats": wm_state.batch_stats}
+
+    actor, value = bh.build_policy_models(cfg)
+    a_opt, v_opt = bh.build_behavior_optimizers(cfg)
+    bstate = bh.init_behavior_state(cfg, actor, value, a_opt, v_opt,
+                                    jax.random.PRNGKey(1))
+    step_fn = bh.make_behavior_step(model, cfg, actor, value, a_opt, v_opt,
+                                    spec)
+
+    state_a, metrics_a = step_fn(
+        jax.tree_util.tree_map(jnp.copy, bstate), wm_variables, raw, draws,
+        key)
+
+    mesh = mesh_lib.create_mesh()
+    rep = mesh_lib.replicated(mesh)
+    bstate_r = jax.device_put(jax.tree_util.tree_map(jnp.copy, bstate), rep)
+    wm_r = jax.device_put(wm_variables, rep)
+    batch = mesh_lib.shard_batch(raw, mesh, batch_dim=1)
+    state_b, metrics_b = step_fn(bstate_r, wm_r, batch, draws, key)
+
+    for k in metrics_a:
+        np.testing.assert_allclose(float(metrics_a[k]), float(metrics_b[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.actor_params),
+                    jax.tree_util.tree_leaves(state_b.actor_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
