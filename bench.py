@@ -59,6 +59,14 @@ def main():
         "train.experience_size=20000",
     ]
     if args.small:
+        # tiny model AND tiny batch/chunk (unless explicitly overridden):
+        # the small profile is an any-backend smoke test — at the default
+        # batch 50 x chunk 50 the f32 sound-decoder activations alone
+        # (f32[2450,128,20,128] = 3 GB each) exceed a v5e chip's 16 GB HBM
+        if args.batch_size == parser.get_default("batch_size"):
+            overrides[0] = "train.batch_size=8"
+        if args.chunk_size == parser.get_default("chunk_size"):
+            overrides[1] = "train.chunk_size=10"
         overrides += [
             "rssm.belief_size=64", "rssm.state_size=16", "rssm.hidden_size=64",
             "rssm.embedding_size.image=64", "rssm.embedding_size.sound=32",

@@ -193,6 +193,7 @@ def make_behavior_step(model: WorldModel, cfg, actor: ActorModel,
     imag_batch = None if b.imag_batch is None else int(b.imag_batch)
     bit_depth = int(cfg.env.bit_depth)
     use_pallas = tr.pallas_normalize_enabled(cfg)
+    xla_opts = tr.resolve_xla_options(cfg)
 
     def imagined_values_and_returns(actor_params, value_params, wm_variables,
                                     h0, s0, key):
@@ -225,7 +226,7 @@ def make_behavior_step(model: WorldModel, cfg, actor: ActorModel,
         logp = gaussian.log_prob(out["loc"], out["scale"], targets)
         return -jnp.mean(weights[:, None] * logp), out["loc"]
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @functools.partial(jax.jit, donate_argnums=(0,), compiler_options=xla_opts)
     def behavior_step(bstate: BehaviorState, wm_variables, raw_batch,
                       aug_draws, key):
         observations, actions, rewards_b, nonterminals = raw_batch

@@ -272,6 +272,38 @@ def resolve_grad_accum(cfg) -> int:
     return accum
 
 
+def resolve_xla_options(cfg):
+    """``train.xla_options``: per-jit XLA compiler options for the train/eval
+    steps (``None`` = compiler defaults).  A mapping of flag name (without
+    the ``--`` prefix) to value, e.g.
+    ``train.xla_options="{xla_tpu_scoped_vmem_limit_kib: 65536}"``.
+
+    This reaches XLA knobs — layout assignment, fusion sizing, VMEM scoping —
+    that this container's fixed ``XLA_FLAGS`` cannot (absl flags are parsed
+    once per process before user code runs); ``jax.jit(compiler_options=…)``
+    applies per-executable instead.  Unknown flags fail loudly at compile
+    time.  Recorded in the persisted run config like every other knob.
+
+    TPU-only options (``xla_tpu_*`` / ``xla_jf_*`` prefixes) are dropped on
+    other backends so a TPU-tuned shipped default (train.yaml sets the
+    measured-win ``xla_tpu_scoped_vmem_limit_kib``) stays valid for the CPU
+    test mesh and the virtual-device dryruns — the CPU compiler would
+    reject them as unknown flags."""
+    raw = cfg.train.get("xla_options", None)
+    if not raw:
+        return None
+    if not isinstance(raw, dict):
+        raise ValueError(
+            f"train.xla_options must be a mapping, got {type(raw).__name__}: "
+            f"{raw!r}")
+    on_tpu = jax.default_backend() == "tpu"
+    opts = {
+        str(k): v for k, v in raw.items()
+        if on_tpu or not str(k).startswith(("xla_tpu_", "xla_jf_"))
+    }
+    return opts or None
+
+
 def _slice_microbatch(batch, start: int, size: int):
     """Slice every leaf's batch axis (axis 1: [L, B, ...])."""
     return jax.tree_util.tree_map(
@@ -489,8 +521,9 @@ def make_train_step(model: WorldModel, cfg, optimizer, aug_spec: AugSpec):
     bit_depth = int(cfg.env.bit_depth)
     use_pallas = pallas_normalize_enabled(cfg)
     accum = resolve_grad_accum(cfg)
+    xla_opts = resolve_xla_options(cfg)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @functools.partial(jax.jit, donate_argnums=(0,), compiler_options=xla_opts)
     def train_step(state: TrainState, raw_batch, aug_draws, key):
         observations, actions, rewards, nonterminals = raw_batch
         key_prep, key_loss = jax.random.split(key)
@@ -527,7 +560,7 @@ def make_train_step(model: WorldModel, cfg, optimizer, aug_spec: AugSpec):
             metrics[f"grad_norm_{mod}"] = optax.global_norm(sub)
         return new_state, metrics
 
-    @jax.jit
+    @functools.partial(jax.jit, compiler_options=xla_opts)
     def eval_step(state: TrainState, raw_batch, aug_draws, key):
         observations, actions, rewards, nonterminals = raw_batch
         key_prep, key_loss = jax.random.split(key)
@@ -581,8 +614,9 @@ def make_device_resident_steps(model: WorldModel, cfg, optimizer,
     use_pallas = pallas_normalize_enabled(cfg)
     obs_names = tuple(observation_names)
     accum = resolve_grad_accum(cfg)
+    xla_opts = resolve_xla_options(cfg)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @functools.partial(jax.jit, donate_argnums=(0,), compiler_options=xla_opts)
     def train_step(state: TrainState, buffer_arrays, idxs, aug_draws, key):
         observations, actions, rewards, nonterminals = gather_batch(
             buffer_arrays, idxs, obs_names
@@ -615,7 +649,7 @@ def make_device_resident_steps(model: WorldModel, cfg, optimizer,
             metrics[f"grad_norm_{mod}"] = optax.global_norm(sub)
         return new_state, metrics
 
-    @jax.jit
+    @functools.partial(jax.jit, compiler_options=xla_opts)
     def eval_step(state: TrainState, buffer_arrays, idxs, aug_draws, key):
         observations, actions, rewards, nonterminals = gather_batch(
             buffer_arrays, idxs, obs_names

@@ -142,3 +142,77 @@ def test_cli_resume(run_cfg, tiny_dataset_dir, tmp_path_factory, monkeypatch):
     steps = [l["step"] for l in lines if "loss/train" in l]
     assert steps.count(5) == 1 and steps.count(6) == 1
     assert steps.count(1) == 1  # step 1 only from the first run
+
+
+def test_resolve_xla_options(tiny_cfg):
+    """train.xla_options: mapping passes through (keys coerced to str),
+    null/absent -> None, non-mapping rejected, TPU-only flags dropped on
+    non-TPU backends (the tests run on the CPU mesh)."""
+    import jax
+
+    from multimodal_rssm_tpu.core.config import ConfigDict
+    from multimodal_rssm_tpu.train import trainer as tr
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = copy.deepcopy(tiny_cfg)
+    assert tr.resolve_xla_options(cfg) is None  # absent
+    cfg.train.xla_options = None
+    assert tr.resolve_xla_options(cfg) is None
+    cfg.train.xla_options = {"xla_tpu_scoped_vmem_limit_kib": 65536,
+                             "xla_embed_ir_in_executable": False}
+    expected = {"xla_embed_ir_in_executable": False}
+    if on_tpu:
+        expected["xla_tpu_scoped_vmem_limit_kib"] = 65536
+    assert tr.resolve_xla_options(cfg) == expected
+    # all-TPU mapping on a non-TPU backend resolves to None, not {}
+    cfg.train.xla_options = {"xla_tpu_scoped_vmem_limit_kib": 65536}
+    if not on_tpu:
+        assert tr.resolve_xla_options(cfg) is None
+    cfg.train.xla_options = "xla_foo=1"
+    with pytest.raises(ValueError, match="xla_options"):
+        tr.resolve_xla_options(cfg)
+    # the CLI-override form parses as a mapping through the config system
+    assert ConfigDict({"train": {"xla_options": {"a": True}}}
+                      ).train.xla_options == {"a": True}
+
+
+def test_xla_options_reach_the_compiled_step(tiny_cfg, tiny_dataset_dir):
+    """An invalid compiler option must fail loudly at compile time (proves
+    the knob reaches XLA); a benign generic option compiles and runs."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_rssm_tpu.data.buffer import build_buffer, load_dataset
+    from multimodal_rssm_tpu.models.world_model import WorldModel
+    from multimodal_rssm_tpu.train import trainer as tr
+
+    cfg = copy.deepcopy(tiny_cfg)
+    cfg.train.train_data_path = tiny_dataset_dir
+    D = build_buffer(cfg)
+    load_dataset(cfg, ".", D, cfg.train.train_data_path)
+    model = WorldModel.from_config(cfg, dtype=tr.compute_dtype(cfg))
+    optimizer = tr.build_optimizer(cfg)
+    spec = tr.build_aug_spec(D)
+    draws = tr.HostAugmentDraws(D, spec)
+    key = jax.random.PRNGKey(0)
+    B, L = int(cfg.train.batch_size), int(cfg.train.chunk_size)
+    obs, act, rew, nt = D.sample(B, L)
+    raw = ({k: jnp.asarray(v) for k, v in obs.items()},
+           jnp.asarray(act), jnp.asarray(rew), jnp.asarray(nt))
+    prep = tr.prepare_observations(raw[0], spec, draws.draw(),
+                                   int(cfg.env.bit_depth), key)
+    state = tr.init_train_state(model, cfg, optimizer, key,
+                                (prep, raw[1], raw[2], raw[3]))
+
+    bad = copy.deepcopy(cfg)
+    bad.train.xla_options = {"xla_not_a_real_flag_xyz": 1}
+    bad_step, _ = tr.make_train_step(model, bad, optimizer, spec)
+    with pytest.raises(Exception):
+        bad_step(state, raw, draws.draw(), key)
+
+    good = copy.deepcopy(cfg)
+    # generic (backend-agnostic) XLA debug option: valid on CPU and TPU
+    good.train.xla_options = {"xla_embed_ir_in_executable": True}
+    good_step, _ = tr.make_train_step(model, good, optimizer, spec)
+    _, metrics = good_step(state, raw, draws.draw(), key)
+    assert np.isfinite(float(metrics["loss"]))
