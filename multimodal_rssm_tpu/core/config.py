@@ -114,8 +114,24 @@ def load_yaml(path: str) -> Dict[str, Any]:
     return data or {}
 
 
+def default_config_dir() -> str:
+    """The canonical config-group tree.
+
+    The default tree ships *inside* the package (``multimodal_rssm_tpu/
+    configs``) so installed console entry points work without a repo
+    checkout; the repo root keeps a ``configs`` symlink for the historical
+    ``<repo>/configs`` path.  ``$MRSSM_CONFIG_DIR`` overrides (useful for
+    experiment trees outside the install).
+    """
+    env = os.environ.get("MRSSM_CONFIG_DIR")
+    if env:
+        return env
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "configs")
+
+
 def compose(
-    config_dir: str,
+    config_dir: Optional[str] = None,
     config_name: str = "config",
     overrides: Optional[Iterable[str]] = None,
 ) -> ConfigDict:
@@ -127,6 +143,8 @@ def compose(
     (mirrors reference config/config.yaml:1-5).  A plain (non-defaults) yaml
     file — e.g. a saved ``hydra_config.yaml`` — is loaded as the whole config.
     """
+    if config_dir is None:
+        config_dir = default_config_dir()
     root_path = os.path.join(config_dir, config_name + ".yaml")
     root = load_yaml(root_path)
 

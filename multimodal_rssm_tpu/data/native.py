@@ -42,7 +42,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _failed:
             return _lib
         if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-            if not _build():
+            # A failed rebuild (no compiler, read-only install dir) is not
+            # fatal when a prebuilt library is already present (e.g. shipped
+            # in the wheel): fall through and try loading it.
+            if not _build() and not os.path.exists(_LIB):
                 _failed = True
                 return None
         try:

@@ -39,7 +39,10 @@ def get_base_folder_name(cwd: str = ".", experiment_name: str = ".") -> Tuple[st
 def get_git_hash() -> Optional[str]:
     try:
         return (
-            subprocess.check_output("git rev-parse --short HEAD".split())
+            subprocess.check_output(
+                "git rev-parse --short HEAD".split(),
+                stderr=subprocess.DEVNULL,  # quiet outside a checkout
+            )
             .strip()
             .decode()
         )

@@ -164,10 +164,8 @@ def test_check_model_artifact_helpers(rng, tmp_path):
     multi-episode PCA plot + per-expert distribution artifacts render from
     synthetic state dicts (notebook cells 25-29 / 39-48 surface)."""
     import os
-    import sys
 
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
-    import check_model
+    from multimodal_rssm_tpu.cli import check_model
 
     out = str(tmp_path)
     # 3 episodes of 3-D PCA projections

@@ -1,7 +1,6 @@
 """Sim data collection (scripts/collect_sim_data.py — BASELINE config #4):
 episodes must come out in the exact COBOTTA schema the buffer ingests."""
 
-import importlib.util
 import os
 
 import numpy as np
@@ -11,12 +10,9 @@ mujoco = pytest.importorskip("mujoco")
 
 
 def _load_collector():
-    path = os.path.join(os.path.dirname(__file__), "..", "scripts",
-                        "collect_sim_data.py")
-    spec = importlib.util.spec_from_file_location("collect_sim_data", path)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
+    from multimodal_rssm_tpu.cli import collect_sim_data
+
+    return collect_sim_data
 
 
 def test_collect_episode_schema(tmp_path):
