@@ -164,6 +164,13 @@ class ExperienceReplay:
     def load_dataset(self, dataset_dir: str) -> None:
         """Load every episode file in a directory (ref memory.py:262-273)."""
         file_names = get_file_names(dataset_dir)
+        if not file_names:
+            # without this the failure surfaces much later as an opaque
+            # LinAlgError (PCA fit over zero frames -> NaN covariance)
+            raise FileNotFoundError(
+                f"no episode files (*.npy) in {dataset_dir} — point "
+                "train.*_data_path at the episode directory itself "
+                "(e.g. dataset/synthetic/train, not dataset/synthetic)")
         self.file_names += file_names
         for file_name in file_names:
             self._set_data_to_buffer(file_name)
@@ -173,9 +180,14 @@ class ExperienceReplay:
     def _set_color_aug_params(self) -> None:
         """Fit PCA colour-augmentation params over stored pixels
         (ref memory.py:276-284)."""
+        # valid row count must respect the ring wrap: when the loaded data
+        # exactly fills the buffer, idx wraps to 0 with full=True and a
+        # naive [:idx] slice would fit PCA on ZERO frames (NaN covariance,
+        # LinAlgError from eigh)
+        n_valid = self.size if self.full else self.idx
         for name in self.observation_names:
             if "image" in name and "bin" not in name:
-                lambd, p = calc_params_of_pca(self.observations[name][: self.idx])
+                lambd, p = calc_params_of_pca(self.observations[name][:n_valid])
                 self.lambd_eigen_values[name] = lambd
                 self.p_eigen_vectors[name] = p
             else:

@@ -84,6 +84,49 @@ def test_buffer_online_append():
     assert D.episodes == 4
 
 
+def test_buffer_empty_dataset_dir_fails_loudly(tmp_path):
+    """Pointing load_dataset at a directory with no *.npy files must raise
+    immediately — without the guard the failure surfaced much later as an
+    opaque LinAlgError (PCA fit over zero frames -> NaN covariance).
+    Regression: found pointing train_data_path at a dataset root that
+    holds train/ and validation/ subdirs."""
+    D = ExperienceReplay(
+        size=16, observation_names=["image_horizon"],
+        observation_shapes={"image_horizon": [3, 64, 64]}, action_size=3,
+    )
+    with pytest.raises(FileNotFoundError, match="no episode files"):
+        D.load_dataset(str(tmp_path))
+
+
+def test_buffer_pca_fit_survives_exact_fill(tmp_path):
+    """When the loaded episodes exactly fill the ring, idx wraps to 0 with
+    full=True; the PCA colour-aug fit must use every stored row, not the
+    naive [:idx] slice (which would be zero frames -> NaN covariance)."""
+    rng = np.random.default_rng(0)
+    ep_len = 8
+    for i in range(2):
+        ep = {
+            "image_horizon": rng.integers(0, 255, (ep_len, 64, 64, 3),
+                                          dtype=np.uint8),
+            "action": np.zeros((ep_len, 3), np.float32),
+            "reward": np.zeros(ep_len, np.float32),
+            "done": np.zeros(ep_len, np.float32),
+        }
+        ep["done"][-1] = 1.0
+        np.save(tmp_path / f"episode_{i:04d}.npy", ep, allow_pickle=True)
+
+    D = ExperienceReplay(
+        size=2 * ep_len,  # exact fill: idx wraps to 0
+        observation_names=["image_horizon"],
+        observation_shapes={"image_horizon": [3, 64, 64]},
+        action_size=3, n_crop=1, dh_base=2, dw_base=2, pca_scales=[0.1],
+    )
+    D.load_dataset(str(tmp_path))
+    assert D.full and D.idx == 0
+    lambd = D.lambd_eigen_values["image_horizon"]
+    assert lambd is not None and np.isfinite(lambd).all()
+
+
 def test_pca_params_match_torch_reference(rng):
     """calc_params_of_pca vs the reference's torch eigh pipeline
     (data_augment.py:53-62)."""

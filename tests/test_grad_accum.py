@@ -52,7 +52,17 @@ def prepared(tiny_cfg, tiny_buffer):
     draws = tr.HostAugmentDraws(tiny_buffer, spec)
     key = jax.random.PRNGKey(7)
     B, L = int(cfg.train.batch_size), int(cfg.train.chunk_size)
+    # Pin the sampler: tiny_buffer is session-scoped and its numpy RNG
+    # advances with every earlier test that samples from it, so without
+    # this the batch (and hence the f32 rounding noise the exactness
+    # assertions ride on) is suite-order-dependent — observed as a rare
+    # in-suite-only tolerance flake.  Restore the state afterwards so
+    # other tests' sampling is unaffected.
+    saved_rng = tiny_buffer.rng.bit_generator.state
+    tiny_buffer.rng = np.random.default_rng(123)
     obs, act, rew, nt = tiny_buffer.sample(B, L)
+    tiny_buffer.rng = np.random.default_rng()
+    tiny_buffer.rng.bit_generator.state = saved_rng
     raw_obs = {k: jnp.asarray(v) for k, v in obs.items()}
     prep = tr.prepare_observations(
         raw_obs, spec, draws.draw(), int(cfg.env.bit_depth), key
