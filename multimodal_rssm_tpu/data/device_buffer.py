@@ -46,10 +46,11 @@ class DeviceReplay:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             self._replicated = NamedSharding(mesh, P())
-            # batch dim (rows of the [n, L] index matrix) over ``data``
-            from multimodal_rssm_tpu.parallel.mesh import DATA_AXIS
+            # batch dim (rows of the [n, L] index matrix) over the data
+            # axes — ('slice', 'data') on a hybrid multi-slice mesh
+            from multimodal_rssm_tpu.parallel.mesh import data_axes
 
-            self._idx_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+            self._idx_sharding = NamedSharding(mesh, P(data_axes(mesh), None))
         else:
             self._replicated = None
             self._idx_sharding = None

@@ -29,14 +29,15 @@ from typing import Any
 import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from multimodal_rssm_tpu.parallel.mesh import DATA_AXIS
+from multimodal_rssm_tpu.parallel.mesh import data_axes
 
 
 def global_batch_sharding(mesh, x_ndim: int, batch_dim: int = 1):
-    """NamedSharding that shards ``batch_dim`` over the ``data`` axis."""
+    """NamedSharding that shards ``batch_dim`` over the data axes
+    (('slice', 'data') on a hybrid multi-slice mesh)."""
     spec = [None] * x_ndim
     if x_ndim > batch_dim:
-        spec[batch_dim] = DATA_AXIS
+        spec[batch_dim] = data_axes(mesh)
     return NamedSharding(mesh, P(*spec))
 
 

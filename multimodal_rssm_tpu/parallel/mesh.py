@@ -28,6 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SLICE_AXIS = "slice"
 
 
 def create_mesh(
@@ -43,10 +44,62 @@ def create_mesh(
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+def create_hybrid_mesh(
+    n_slices: int,
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Multi-slice mesh with (slice, data, model) axes.
+
+    The ``slice`` axis is the DCN dimension (across TPU slices); ``data``
+    and ``model`` ride ICI within a slice.  Data parallelism spans
+    slice × data: the batch dim is sharded over both (``data_axes``), and
+    XLA lowers the resulting gradient all-reduce hierarchically —
+    reduce-scatter/all-reduce over ICI inside each slice first, then one
+    gradient buffer per slice over DCN — the bandwidth-correct layout for
+    multi-slice DP (DCN traffic is independent of chips-per-slice).
+    Model-axis sharding stays intra-slice so its all-gathers never touch
+    DCN.
+
+    On real multi-slice TPU, devices are grouped by their slice membership
+    via ``mesh_utils.create_hybrid_device_mesh``; on flat platforms (the
+    CPU test mesh, a single slice) a contiguous reshape stands in so the
+    same code path is testable anywhere.
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // (n_slices * n_model)
+    want = n_slices * n_data * n_model
+    if want > len(devices):
+        raise ValueError(
+            f"hybrid mesh {n_slices}x{n_data}x{n_model} needs {want} devices,"
+            f" have {len(devices)}")
+    try:
+        from jax.experimental import mesh_utils
+
+        grid = mesh_utils.create_hybrid_device_mesh(
+            (1, n_data, n_model), (n_slices, 1, 1), devices=devices[:want]
+        )
+    except Exception:
+        # flat platform (no slice_index attributes): contiguous grouping
+        grid = np.asarray(devices[:want]).reshape(n_slices, n_data, n_model)
+    return Mesh(grid, (SLICE_AXIS, DATA_AXIS, MODEL_AXIS))
+
+
+def data_axes(mesh: Mesh):
+    """The partition-spec entry the batch dimension shards over:
+    ('slice', 'data') on a hybrid mesh, 'data' on a flat one."""
+    axes = tuple(a for a in (SLICE_AXIS, DATA_AXIS) if a in mesh.axis_names)
+    if not axes:
+        return None
+    return axes if len(axes) > 1 else axes[0]
+
+
 def batch_sharding(mesh: Mesh, batch_dim: int = 1) -> NamedSharding:
-    """Shard the batch dimension over the data axis (time-major layout)."""
+    """Shard the batch dimension over the data axes (time-major layout)."""
     spec = [None] * (batch_dim + 1)
-    spec[batch_dim] = DATA_AXIS
+    spec[batch_dim] = data_axes(mesh)
     return NamedSharding(mesh, P(*spec))
 
 
@@ -112,11 +165,14 @@ def shard_params(params, mesh: Mesh, min_width: int = MIN_SHARD_WIDTH):
 
 
 def shard_batch(batch, mesh: Mesh, batch_dim: int = 1):
-    """Device_put every leaf with its batch dim sharded over ``data``."""
+    """Device_put every leaf with its batch dim sharded over the data axes
+    ((slice, data) on a hybrid mesh)."""
+    axes = data_axes(mesh)
+
     def _put(x):
         spec = [None] * x.ndim
         if x.ndim > batch_dim:
-            spec[batch_dim] = DATA_AXIS
+            spec[batch_dim] = axes
         return jax.device_put(x, NamedSharding(mesh, P(*spec)))
 
     return jax.tree_util.tree_map(_put, batch)

@@ -159,6 +159,54 @@ def test_model_axis_sharding_matches_replicated(dp_setup):
                                    rtol=2e-2, atol=5e-4)
 
 
+def test_hybrid_multislice_step_matches_single(dp_setup, tiny_buffer):
+    """Multi-slice DP (parallel/mesh.create_hybrid_mesh): on a (2 slice x
+    2 data x 2 model) hybrid mesh — batch sharded over ('slice', 'data'),
+    wide kernels over 'model' — the train step reproduces the single-device
+    result.  On real multi-slice TPU the slice axis maps to DCN; on the
+    flat CPU test platform it is a contiguous device grouping, so the same
+    code path is exercised here."""
+    from multimodal_rssm_tpu.data.device_buffer import DeviceReplay
+
+    cfg, model, train_step, state, raw, draws, key = dp_setup
+    mesh = mesh_lib.create_hybrid_mesh(n_slices=2, n_data=2, n_model=2)
+    assert mesh.axis_names == ("slice", "data", "model")
+    assert dict(mesh.shape) == {"slice": 2, "data": 2, "model": 2}
+
+    state_a, metrics_a = train_step(
+        jax.tree_util.tree_map(jnp.copy, state), raw, draws, key)
+
+    sharded = tr.TrainState(
+        step=jax.device_put(jnp.copy(state.step), mesh_lib.replicated(mesh)),
+        params=mesh_lib.shard_params(
+            jax.tree_util.tree_map(jnp.copy, state.params), mesh, min_width=1),
+        batch_stats=jax.device_put(
+            jax.tree_util.tree_map(jnp.copy, state.batch_stats),
+            mesh_lib.replicated(mesh)),
+        opt_state=mesh_lib.shard_params(
+            jax.tree_util.tree_map(jnp.copy, state.opt_state), mesh,
+            min_width=1),
+    )
+    batch = mesh_lib.shard_batch(raw, mesh, batch_dim=1)
+    leaf = jax.tree_util.tree_leaves(batch)[0]
+    assert leaf.sharding.spec[1] == ("slice", "data")
+    state_b, metrics_b = train_step(sharded, batch, draws, key)
+
+    np.testing.assert_allclose(float(metrics_a["loss"]),
+                               float(metrics_b["loss"]), rtol=1e-5)
+    # same tolerance rationale as the model-axis test above (Adam rsqrt
+    # amplifies collective reduction-order rounding)
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=5e-4)
+
+    # the device-resident feed shards its index matrix over BOTH data axes
+    dev = DeviceReplay(tiny_buffer, mesh=mesh)
+    idxs = dev.sample_indices(8, 6)
+    assert idxs.sharding.spec[0] == ("slice", "data")
+
+
 def test_dryrun_multichip():
     """The driver-facing multi-chip dry run compiles and executes."""
     import importlib.util, os
