@@ -150,76 +150,104 @@ def train(cfg, cwd, results_dir, logger, key, mesh=None, progress=True):
         except ImportError:
             pass
 
-    for itr in iterator:
-        if profile_dir and itr == profile_window[0]:
-            jax.profiler.start_trace(str(profile_dir))
-        key, step_key = jax.random.split(key)
-        step_draws = draws.draw()
-        if use_device_replay:
-            idxs = prefetcher.get()
-            state, metrics = train_step(state, dev.arrays, idxs,
-                                         step_draws, step_key)
-            last_input = idxs
-        else:
-            batch = prefetcher.get()
-            state, metrics = train_step(state, batch, step_draws, step_key)
-            last_input = batch
-        if profile_dir and itr == profile_window[1]:
-            jax.block_until_ready(metrics["loss"])
-            jax.profiler.stop_trace()
+    from multimodal_rssm_tpu.core.runtime import GracefulShutdown
 
-        # lazy metric materialisation: log the previous step's metrics
-        if pending_metrics is not None:
-            logger.log(jax.device_get(pending_metrics), pending_step, "train")
-            logger.log_frame_count(pending_step, B, L)
-        pending_metrics, pending_step = metrics, itr
-
-        if itr % val_every == 0:
-            key, val_key = jax.random.split(key)
+    last_ckpt_step = start_step
+    completed = start_step
+    # async cadence saves: on-device snapshot + writer thread keeps the
+    # device_get/serialize/write off the step critical path (the snapshot
+    # copy is also what makes saving safe at all — the jitted step donates
+    # its state arg, invalidating the old buffers at next dispatch)
+    saver = ckpt.AsyncCheckpointer() if bool(
+        cfg.train.get("async_checkpoint", True)) else None
+    shutdown = GracefulShutdown()
+    with shutdown:
+        for itr in iterator:
+            if shutdown.requested:
+                break
+            if profile_dir and itr == profile_window[0]:
+                jax.profiler.start_trace(str(profile_dir))
+            key, step_key = jax.random.split(key)
+            step_draws = draws.draw()
             if use_device_replay:
-                vmetrics = eval_step(state, dev_val.arrays,
-                                     dev_val.sample_indices(B, L),
-                                     draws.draw(), val_key)
+                idxs = prefetcher.get()
+                state, metrics = train_step(state, dev.arrays, idxs,
+                                            step_draws, step_key)
+                last_input = idxs
             else:
-                vbatch = _device_batch(D_val.sample(B, L), mesh)
-                vmetrics = eval_step(state, vbatch, draws.draw(), val_key)
-            logger.log(jax.device_get(vmetrics), itr, "validation")
+                batch = prefetcher.get()
+                state, metrics = train_step(state, batch, step_draws, step_key)
+                last_input = batch
+            if profile_dir and itr == profile_window[1]:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
 
-        if hist_every and itr % hist_every == 0:
-            # wandb.watch analogue (ref RSSM/algo.py:39-43): per-module
-            # parameter + gradient histograms.  One extra fwd+bwd per
-            # interval (default every 1000 steps — ~0.1% overhead).
-            # fold_in (not split): histograms must be purely observational —
-            # a run with them enabled stays bit-identical to one without,
-            # like the reference's wandb.watch (ADVICE r1).
-            hist_key = jax.random.fold_in(key, itr)
-            # reuse the step's batch + augment draws: no host RNG stream
-            # (buffer sampler / HostAugmentDraws) advances because
-            # histograms are on (ADVICE r1)
-            if use_device_replay:
-                from multimodal_rssm_tpu.data.device_buffer import gather_batch
+            # lazy metric materialisation: log the previous step's metrics
+            if pending_metrics is not None:
+                logger.log(jax.device_get(pending_metrics), pending_step, "train")
+                logger.log_frame_count(pending_step, B, L)
+            pending_metrics, pending_step = metrics, itr
 
-                hbatch = gather_batch(dev.arrays, last_input,
-                                      D.observation_names)
-            else:
-                hbatch = last_input
-            grads = grad_only_fn(state, hbatch, step_draws, hist_key)
-            logger.log_histograms(jax.device_get(state.params), itr, "params")
-            logger.log_histograms(jax.device_get(grads), itr, "grads")
+            if itr % val_every == 0:
+                key, val_key = jax.random.split(key)
+                if use_device_replay:
+                    vmetrics = eval_step(state, dev_val.arrays,
+                                         dev_val.sample_indices(B, L),
+                                         draws.draw(), val_key)
+                else:
+                    vbatch = _device_batch(D_val.sample(B, L), mesh)
+                    vmetrics = eval_step(state, vbatch, draws.draw(), val_key)
+                logger.log(jax.device_get(vmetrics), itr, "validation")
 
-        if itr % ckpt_every == 0:
-            ckpt.save_checkpoint(
-                results_dir, itr, state,
-                extra={"key": np.asarray(jax.device_get(key))},
-            )
+            if hist_every and itr % hist_every == 0:
+                # wandb.watch analogue (ref RSSM/algo.py:39-43): per-module
+                # parameter + gradient histograms.  One extra fwd+bwd per
+                # interval (default every 1000 steps — ~0.1% overhead).
+                # fold_in (not split): histograms must be purely observational —
+                # a run with them enabled stays bit-identical to one without,
+                # like the reference's wandb.watch (ADVICE r1).
+                hist_key = jax.random.fold_in(key, itr)
+                # reuse the step's batch + augment draws: no host RNG stream
+                # (buffer sampler / HostAugmentDraws) advances because
+                # histograms are on (ADVICE r1)
+                if use_device_replay:
+                    from multimodal_rssm_tpu.data.device_buffer import gather_batch
+
+                    hbatch = gather_batch(dev.arrays, last_input,
+                                          D.observation_names)
+                else:
+                    hbatch = last_input
+                grads = grad_only_fn(state, hbatch, step_draws, hist_key)
+                logger.log_histograms(jax.device_get(state.params), itr, "params")
+                logger.log_histograms(jax.device_get(grads), itr, "grads")
+
+            if itr % ckpt_every == 0:
+                extra = {"key": np.asarray(jax.device_get(key))}
+                if saver is not None:
+                    saver.save(results_dir, itr, state, extra)
+                else:
+                    ckpt.save_checkpoint(results_dir, itr, state, extra)
+                last_ckpt_step = itr
+            completed = itr
 
     prefetcher.close()
     if pending_metrics is not None:
         logger.log(jax.device_get(pending_metrics), pending_step, "train")
+    if saver is not None:
+        saver.wait()  # drain the in-flight write; re-raises writer errors
+    if (shutdown.requested and completed > last_ckpt_step
+            and bool(cfg.train.get("checkpoint_on_preempt", True))):
+        # preemption (SIGTERM) / interrupt: persist the exact step reached so
+        # ``--resume`` continues from here instead of the last cadence save
+        path = ckpt.save_checkpoint(
+            results_dir, completed, state,
+            extra={"key": np.asarray(jax.device_get(key))},
+        )
+        print(f"preempted at step {completed}; checkpoint saved to {path}")
     elapsed = time.time() - t_start
-    steps_done = total - start_step
+    steps_done = completed - start_step
     if steps_done > 0:
-        logger.log({"steps_per_sec": steps_done / elapsed}, total, "perf")
+        logger.log({"steps_per_sec": steps_done / elapsed}, completed, "perf")
     return state
 
 

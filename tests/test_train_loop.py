@@ -144,6 +144,144 @@ def test_cli_resume(run_cfg, tiny_dataset_dir, tmp_path_factory, monkeypatch):
     assert steps.count(1) == 1  # step 1 only from the first run
 
 
+def test_preempt_checkpoints_and_resumes(tiny_dataset_dir, tmp_path_factory,
+                                         monkeypatch):
+    """SIGTERM mid-run (TPU-VM preemption): the loop finishes the in-flight
+    step, writes a checkpoint at the exact step reached, and exits 0; the
+    run then resumes from that step via the CLI (core/runtime.py
+    GracefulShutdown — the reference loses up to checkpoint_interval-1
+    steps on any interruption)."""
+    import re
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    cwd = str(tmp_path_factory.mktemp("preempt"))
+    overrides = [
+        "main.experiment_name=preempt_test",
+        f"train.train_data_path={tiny_dataset_dir}",
+        f"train.validation_data_path={tiny_dataset_dir}",
+        # never reaches the end or a cadence checkpoint on its own
+        "train.train_iteration=100000",
+        "train.checkpoint_interval=100000",
+        "train.validation_interval=100000",
+    ]
+    from tests.conftest import TINY_OVERRIDES
+
+    # child output goes to a FILE, not a PIPE: nothing drains a pipe during
+    # the poll loop below, and the XLA AOT-loader warnings (~2.5 KB each,
+    # one per cache-loaded executable) plus tqdm can fill the 64 KB pipe
+    # buffer before step 1 is even logged, deadlocking the child on a
+    # blocked write
+    out_path = os.path.join(cwd, "child.log")
+    out_file = open(out_path, "w")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(repo, "scripts", "train.py"),
+         "--platform", "cpu", "--config-dir", os.path.join(repo, "configs"),
+         "--cwd", cwd] + TINY_OVERRIDES + overrides,
+        stdout=out_file, stderr=subprocess.STDOUT, text=True, cwd=repo,
+    )
+    try:
+        # wait until at least one training step has been logged
+        metrics_path = None
+        deadline = time.time() + 600
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                raise AssertionError(
+                    f"child exited early:\n{open(out_path).read()}")
+            runs = glob.glob(os.path.join(
+                cwd, "results", "preempt_test", "*", "run_*"))
+            if runs:
+                mp = os.path.join(runs[0], "metrics.jsonl")
+                if os.path.exists(mp) and any(
+                        "loss/train" in l for l in open(mp)):
+                    metrics_path = mp
+                    break
+            time.sleep(1.0)
+        assert metrics_path, (
+            "child never logged a training step:\n" + open(out_path).read())
+        proc.send_signal(signal.SIGTERM)
+        proc.wait(timeout=180)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        out_file.close()
+    out = open(out_path).read()
+    assert proc.returncode == 0, out
+
+    run_dir = os.path.dirname(metrics_path)
+    ckpts = glob.glob(os.path.join(run_dir, "models_*.msgpack"))
+    assert len(ckpts) == 1, (ckpts, out)
+    step = int(re.search(r"models_(\d+)\.msgpack", ckpts[0]).group(1))
+    assert 0 < step < 100000
+    assert f"preempted at step {step}" in out
+
+    # resume the interrupted run through the CLI (in-process: warm modules)
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    import train as train_cli
+
+    monkeypatch.setattr(sys, "argv", [
+        "train.py", "--cwd", cwd, "--resume", run_dir,
+        f"train.train_iteration={step + 2}",
+        "train.checkpoint_interval=1",
+    ])
+    train_cli.main()
+    assert os.path.exists(
+        os.path.join(run_dir, f"models_{step + 2}.msgpack"))
+    # the resumed process continued from `step`, not from scratch
+    lines = [json.loads(l) for l in open(metrics_path)]
+    steps = [l["step"] for l in lines if "loss/train" in l]
+    assert step + 1 in steps and step + 2 in steps
+
+
+def test_async_checkpointer(tmp_path):
+    """io/checkpoint.AsyncCheckpointer: (1) the on-device snapshot makes
+    saving safe against the train step's buffer donation — the original
+    arrays are donated/overwritten while the write is in flight and the
+    file still holds the pre-donation values; (2) the on-disk bytes are
+    identical to the synchronous save_checkpoint; (3) writer errors
+    surface on wait()."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_rssm_tpu.io import checkpoint as ckpt
+
+    tree = {"w": jnp.arange(64, dtype=jnp.float32).reshape(8, 8),
+            "b": jnp.ones((8,), jnp.float32)}
+    expect = jax.device_get(tree)
+
+    saver = ckpt.AsyncCheckpointer()
+    saver.save(str(tmp_path / "a"), 5, tree, extra={"k": 1})
+    # donate the original buffers while the write may still be in flight
+    zero = jax.jit(lambda t: jax.tree_util.tree_map(lambda x: x * 0, t),
+                   donate_argnums=0)
+    tree = zero(tree)
+    jax.block_until_ready(tree)
+    path = saver.wait()
+    assert path == str(tmp_path / "a" / "models_5.msgpack")
+
+    restored, step, extra = ckpt.load_checkpoint(
+        path, {"w": jnp.zeros((8, 8)), "b": jnp.zeros((8,))})
+    assert step == 5 and extra == {"k": 1}
+    np.testing.assert_array_equal(np.asarray(restored["w"]), expect["w"])
+    np.testing.assert_array_equal(np.asarray(restored["b"]), expect["b"])
+
+    # byte parity with the synchronous writer
+    sync_path = ckpt.save_checkpoint(str(tmp_path / "b"), 5, expect,
+                                     extra={"k": 1})
+    assert open(path, "rb").read() == open(sync_path, "rb").read()
+
+    # writer errors are re-raised on wait(), then cleared
+    saver.save("/proc/definitely/not/writable", 1, expect)
+    with pytest.raises(OSError):
+        saver.wait()
+    saver.wait()  # error is cleared: a second wait() does not re-raise
+
+
 def test_resolve_xla_options(tiny_cfg):
     """train.xla_options: mapping passes through (keys coerced to str),
     null/absent -> None, non-mapping rejected, TPU-only flags dropped on
