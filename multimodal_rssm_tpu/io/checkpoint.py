@@ -29,25 +29,65 @@ def _to_state_dict(tree):
     return serialization.to_state_dict(tree)
 
 
+def _host_global(tree):
+    """Every leaf as its full GLOBAL value on this host.
+
+    Single-controller arrays are fully addressable and fetched directly.
+    In a multi-process run (``jax.distributed``) leaves sharded or
+    replicated over other hosts' devices are *not* fully addressable —
+    ``jax.device_get`` would raise — so each is allgathered
+    (``multihost_utils.process_allgather`` returns the fully-replicated
+    global value for a non-addressable ``jax.Array``).  The allgather is a
+    collective: in multi-process mode every process must reach the save at
+    the same training step.
+    """
+
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            # tiled=True is required for global arrays; the result is the
+            # fully-replicated global value either way
+            return multihost_utils.process_allgather(x, tiled=True)
+        return x
+
+    return jax.device_get(jax.tree_util.tree_map(fetch, tree))
+
+
 def save_checkpoint(
     results_dir: str,
     step: int,
     train_state,
     extra: Optional[Dict[str, Any]] = None,
 ) -> str:
-    """Atomically write ``models_{step}.msgpack``; returns the path."""
-    os.makedirs(results_dir, exist_ok=True)
+    """Atomically write ``models_{step}.msgpack``; returns the path.
+
+    Multi-host safe: sharded/replicated global arrays are allgathered to
+    their full value (collective — every process must call this at the
+    same step), process 0 writes the file, and all processes rendezvous
+    before returning so the checkpoint is visible to everyone on a shared
+    filesystem.  Single-process behaviour (and the on-disk format) is
+    unchanged.
+    """
     payload = {
         "step": int(step),
-        "state": _to_state_dict(jax.device_get(train_state)),
+        "state": _to_state_dict(_host_global(train_state)),
         "extra": extra or {},
     }
-    data = serialization.msgpack_serialize(payload)
     path = os.path.join(results_dir, f"models_{step}.msgpack")
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(data)
-    os.replace(tmp, path)  # atomic on POSIX
+    if jax.process_index() == 0:
+        os.makedirs(results_dir, exist_ok=True)
+        data = serialization.msgpack_serialize(payload)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)  # atomic on POSIX
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        # don't let another process proceed (e.g. resume, eval-on-ckpt)
+        # before the file exists
+        multihost_utils.sync_global_devices(f"save_checkpoint_{step}")
     return path
 
 
@@ -69,6 +109,12 @@ class AsyncCheckpointer:
     state).  ``wait()`` joins and re-raises any writer exception — call it
     before reading the files back or returning from the loop.  The on-disk
     format is byte-identical to ``save_checkpoint``.
+
+    Single-controller only: in a multi-process run ``save_checkpoint`` is
+    a collective (allgather + barrier), and issuing collectives from a
+    background thread can interleave differently across processes with the
+    main loop's step collectives — a launch-order deadlock.  The training
+    loop falls back to synchronous saves when ``jax.process_count() > 1``.
     """
 
     def __init__(self):

@@ -158,8 +158,12 @@ def train(cfg, cwd, results_dir, logger, key, mesh=None, progress=True):
     # device_get/serialize/write off the step critical path (the snapshot
     # copy is also what makes saving safe at all — the jitted step donates
     # its state arg, invalidating the old buffers at next dispatch)
-    saver = ckpt.AsyncCheckpointer() if bool(
-        cfg.train.get("async_checkpoint", True)) else None
+    # (multi-process runs save synchronously: save_checkpoint is a
+    # collective there, and a writer thread's collectives could interleave
+    # with step collectives in a different order per process — deadlock)
+    saver = ckpt.AsyncCheckpointer() if (
+        bool(cfg.train.get("async_checkpoint", True))
+        and jax.process_count() == 1) else None
     shutdown = GracefulShutdown()
     with shutdown:
         for itr in iterator:

@@ -89,10 +89,27 @@ def main():
     loss = float(loss)
     grad_norm = float(metrics["grad_norm"])
 
+    # multi-host checkpoint: EVERY process calls save (the allgather inside
+    # is a collective); the post-step state is replicated-but-global (not
+    # fully addressable from either process) and the gbatch actions leaf is
+    # sharded over data=4 across both hosts — both must come back as their
+    # full global values.  Process 0 writes the file.
+    from multimodal_rssm_tpu.io import checkpoint as ckpt_lib
+
+    ckpt_dir = os.path.join(os.path.dirname(out_path), "mh_ckpt")
+    actions_global = gbatch[1]
+    assert not actions_global.is_fully_addressable
+    ckpt_path = ckpt_lib.save_checkpoint(
+        ckpt_dir, 1, {"ts": new_state, "act": actions_global})
+    assert os.path.exists(ckpt_path) if process_id == 0 else True
+    # the barrier inside save_checkpoint guarantees visibility here too
+    assert os.path.exists(ckpt_path)
+
     if process_id == 0:
         with open(out_path, "w") as f:
             json.dump({"loss": loss, "grad_norm": grad_norm,
-                       "step": int(new_state.step)}, f)
+                       "step": int(new_state.step),
+                       "ckpt_path": ckpt_path}, f)
     jax.distributed.shutdown()
 
 

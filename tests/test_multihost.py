@@ -76,9 +76,29 @@ def test_two_process_feed_matches_oracle(tmp_path):
     obs, actions, rewards, nonterm = concat_global_batch(2)
     batch = ({k: jnp.asarray(v) for k, v in obs.items()},
              jnp.asarray(actions), jnp.asarray(rewards), jnp.asarray(nonterm))
-    _, metrics = train_step(state, batch, draws, jax.random.PRNGKey(7))
+    new_state, metrics = train_step(state, batch, draws, jax.random.PRNGKey(7))
 
     np.testing.assert_allclose(dist["loss"], float(metrics["loss"]),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(dist["grad_norm"], float(metrics["grad_norm"]),
                                rtol=1e-4, atol=1e-5)
+
+    # multi-host checkpoint (io/checkpoint.py _host_global): the workers
+    # saved the post-step state (replicated across both processes — not
+    # fully addressable from either) plus the data-sharded actions leaf;
+    # the restored GLOBAL values must match this single-process oracle.
+    from multimodal_rssm_tpu.io import checkpoint as ckpt_lib
+
+    template = {"ts": jax.device_get(new_state),
+                "act": np.zeros_like(actions)}
+    restored, step, _ = ckpt_lib.load_checkpoint(dist["ckpt_path"], template)
+    assert step == 1
+    np.testing.assert_array_equal(np.asarray(restored["act"]), actions)
+    assert int(restored["ts"].step) == 1
+    # same tolerance rationale as the mesh-equivalence tests in
+    # test_parallel.py: Adam's rsqrt amplifies the collective
+    # reduction-order rounding of the distributed gradient
+    for a, b in zip(jax.tree_util.tree_leaves(restored["ts"].params),
+                    jax.tree_util.tree_leaves(new_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=5e-4)
