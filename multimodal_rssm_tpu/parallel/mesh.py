@@ -87,6 +87,40 @@ def create_hybrid_mesh(
     return Mesh(grid, (SLICE_AXIS, DATA_AXIS, MODEL_AXIS))
 
 
+def mesh_from_config(cfg) -> Optional[Mesh]:
+    """Build the training mesh from ``cfg.train.mesh`` (None = single device).
+
+    YAML block (configs/train/train.yaml)::
+
+        mesh:
+          data: 0             # devices on the data axis; 0 disables the
+                              # mesh, -1 = all devices left after model/slice
+          model: 1            # tensor-parallel axis (column-sharded kernels)
+          slice: 1            # >1 = hybrid multi-slice mesh (DCN-aware)
+          min_shard_width: 128  # smallest model-shard width worth the
+                                # collectives (one MXU lane tile)
+
+    CLI: ``python scripts/train.py train.mesh.data=4 train.mesh.model=2``.
+    """
+    spec = cfg.train.get("mesh") if hasattr(cfg, "train") else None
+    if not spec:
+        return None
+    n_data = int(spec.get("data", 0) or 0)
+    n_model = int(spec.get("model", 1) or 1)
+    n_slice = int(spec.get("slice", 1) or 1)
+    if n_data == 0 and n_model <= 1 and n_slice <= 1:
+        return None
+    n_data_arg = None if n_data in (0, -1) else n_data
+    if n_slice > 1:
+        return create_hybrid_mesh(n_slice, n_data_arg, n_model)
+    return create_mesh(n_data_arg, n_model)
+
+
+def config_min_shard_width(cfg) -> int:
+    spec = (cfg.train.get("mesh") or {}) if hasattr(cfg, "train") else {}
+    return int(spec.get("min_shard_width", MIN_SHARD_WIDTH) or MIN_SHARD_WIDTH)
+
+
 def data_axes(mesh: Mesh):
     """The partition-spec entry the batch dimension shards over:
     ('slice', 'data') on a hybrid mesh, 'data' on a flat one."""
@@ -162,6 +196,43 @@ def shard_params(params, mesh: Mesh, min_width: int = MIN_SHARD_WIDTH):
         )
 
     return jax.tree_util.tree_map_with_path(_put, params)
+
+
+def shard_state(state, mesh: Mesh, min_width: int = MIN_SHARD_WIDTH):
+    """Place a TrainState on the mesh: kernels (and their Adam moments,
+    which mirror the param tree) column-sharded over ``model`` where
+    profitable, step/batch_stats and everything else replicated."""
+    rep = replicated(mesh)
+    return state.replace(
+        step=jax.device_put(state.step, rep),
+        params=shard_params(state.params, mesh, min_width),
+        batch_stats=jax.device_put(state.batch_stats, rep),
+        opt_state=shard_params(state.opt_state, mesh, min_width),
+    )
+
+
+def constrain_state(state, mesh: Mesh, min_width: int = MIN_SHARD_WIDTH):
+    """``with_sharding_constraint`` version of :func:`shard_state`, for use
+    INSIDE a jitted train step.  Without it GSPMD is free to resolve the
+    step's output state as fully replicated, silently dropping the model-
+    axis sharding after the first step — the constraint pins the output
+    layout so tensor parallelism persists across steps."""
+    from jax.lax import with_sharding_constraint as wsc
+
+    n_model = mesh.shape.get(MODEL_AXIS, 1)
+    rep = replicated(mesh)
+
+    def _c(path, leaf):
+        return wsc(leaf, NamedSharding(
+            mesh, param_spec(path, leaf, n_model, min_width)))
+
+    return state.replace(
+        step=wsc(state.step, rep),
+        params=jax.tree_util.tree_map_with_path(_c, state.params),
+        batch_stats=jax.tree_util.tree_map(lambda x: wsc(x, rep),
+                                           state.batch_stats),
+        opt_state=jax.tree_util.tree_map_with_path(_c, state.opt_state),
+    )
 
 
 def shard_batch(batch, mesh: Mesh, batch_dim: int = 1):

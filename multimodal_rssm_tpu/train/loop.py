@@ -77,9 +77,10 @@ def train(cfg, cwd, results_dir, logger, key, mesh=None, progress=True):
         dev = DeviceReplay(D, mesh=mesh)
         dev_val = DeviceReplay(D_val, mesh=mesh)
         train_step, eval_step = tr.make_device_resident_steps(
-            model, cfg, optimizer, aug_spec, D.observation_names)
+            model, cfg, optimizer, aug_spec, D.observation_names, mesh=mesh)
     else:
-        train_step, eval_step = tr.make_train_step(model, cfg, optimizer, aug_spec)
+        train_step, eval_step = tr.make_train_step(model, cfg, optimizer,
+                                                   aug_spec, mesh=mesh)
 
     # init (or resume) train state
     key, init_key, prep_key = jax.random.split(key, 3)
@@ -92,6 +93,15 @@ def train(cfg, cwd, results_dir, logger, key, mesh=None, progress=True):
         model, cfg, optimizer, init_key,
         (prep_obs, jnp.asarray(sample[1]), jnp.asarray(sample[2]), jnp.asarray(sample[3])),
     )
+
+    def _place(state):
+        """Put the TrainState on the mesh (model-axis kernels sharded,
+        rest replicated).  Checkpoint restores return host numpy leaves,
+        so this runs after init AND after any restore."""
+        if mesh is None:
+            return state
+        return mesh_lib.shard_state(
+            state, mesh, mesh_lib.config_min_shard_width(cfg))
 
     start_step = 0
     restored = ckpt.restore_or_none(results_dir, state)
@@ -115,6 +125,7 @@ def train(cfg, cwd, results_dir, logger, key, mesh=None, progress=True):
             state, _, _ = ckpt.load_checkpoint(model_path, state)
         else:
             raise FileNotFoundError(model_path)
+    state = _place(state)
 
     total = int(cfg.train.train_iteration)
     val_every = int(cfg.train.validation_interval)
@@ -261,7 +272,15 @@ def run(cfg, cwd: str = ".", mesh=None, resume_dir=None):
     ``resume_dir``: reuse an existing run dir; ``train()`` then restores
     the latest checkpoint in it (step + params + optimizer + PRNG) and
     continues.
+
+    ``mesh``: explicit device mesh; when None, ``cfg.train.mesh`` builds
+    one (``train.mesh.data=4 train.mesh.model=2`` from the CLI), so
+    multi-chip training needs no code.
     """
+    if mesh is None:
+        mesh = mesh_lib.mesh_from_config(cfg)
+        if mesh is not None:
+            print(f"mesh: {dict(mesh.shape)}")
     cwd, results_dir, logger, key = setup_experiment(cfg, cwd, resume_dir)
     try:
         state = train(cfg, cwd, results_dir, logger, key, mesh=mesh)

@@ -511,17 +511,33 @@ def make_loss_fn(model: WorldModel, cfg):
     return loss_fn
 
 
-def make_train_step(model: WorldModel, cfg, optimizer, aug_spec: AugSpec):
+def _state_constrainer(cfg, mesh):
+    """Identity without a mesh; with one, pins the output TrainState's
+    sharding inside the jitted step (parallel/mesh.constrain_state) so the
+    model-axis layout survives across steps instead of being resolved to
+    replicated by GSPMD."""
+    if mesh is None:
+        return lambda s: s
+    from multimodal_rssm_tpu.parallel import mesh as mesh_lib
+
+    min_width = mesh_lib.config_min_shard_width(cfg)
+    return lambda s: mesh_lib.constrain_state(s, mesh, min_width)
+
+
+def make_train_step(model: WorldModel, cfg, optimizer, aug_spec: AugSpec,
+                    mesh=None):
     """Build the donated jitted train step and the eval (validation) step.
 
     ``aug_spec`` is static (baked into the compilation); per-batch
-    augmentation draws are traced arguments.
+    augmentation draws are traced arguments.  ``mesh``: pin the output
+    state's sharding to the training mesh's layout.
     """
     loss_fn = make_loss_fn(model, cfg)
     bit_depth = int(cfg.env.bit_depth)
     use_pallas = pallas_normalize_enabled(cfg)
     accum = resolve_grad_accum(cfg)
     xla_opts = resolve_xla_options(cfg)
+    constrain = _state_constrainer(cfg, mesh)
 
     @functools.partial(jax.jit, donate_argnums=(0,), compiler_options=xla_opts)
     def train_step(state: TrainState, raw_batch, aug_draws, key):
@@ -558,7 +574,7 @@ def make_train_step(model: WorldModel, cfg, optimizer, aug_spec: AugSpec):
         # RSSM/algo.py:39-43) — cheap scalars, logged with the step metrics
         for mod, sub in grads.items():
             metrics[f"grad_norm_{mod}"] = optax.global_norm(sub)
-        return new_state, metrics
+        return constrain(new_state), metrics
 
     @functools.partial(jax.jit, compiler_options=xla_opts)
     def eval_step(state: TrainState, raw_batch, aug_draws, key):
@@ -602,7 +618,8 @@ def make_grad_fn(model: WorldModel, cfg, aug_spec: AugSpec):
 
 
 def make_device_resident_steps(model: WorldModel, cfg, optimizer,
-                               aug_spec: AugSpec, observation_names):
+                               aug_spec: AugSpec, observation_names,
+                               mesh=None):
     """Train/eval steps over an HBM-resident replay (data/device_buffer.py):
     inputs are the device buffer arrays + [n, L] index matrices; the chunk
     gather happens on device, so the steady-state host->device traffic is a
@@ -615,6 +632,7 @@ def make_device_resident_steps(model: WorldModel, cfg, optimizer,
     obs_names = tuple(observation_names)
     accum = resolve_grad_accum(cfg)
     xla_opts = resolve_xla_options(cfg)
+    constrain = _state_constrainer(cfg, mesh)
 
     @functools.partial(jax.jit, donate_argnums=(0,), compiler_options=xla_opts)
     def train_step(state: TrainState, buffer_arrays, idxs, aug_draws, key):
@@ -647,7 +665,7 @@ def make_device_resident_steps(model: WorldModel, cfg, optimizer,
         metrics["grad_norm"] = optax.global_norm(grads)
         for mod, sub in grads.items():
             metrics[f"grad_norm_{mod}"] = optax.global_norm(sub)
-        return new_state, metrics
+        return constrain(new_state), metrics
 
     @functools.partial(jax.jit, compiler_options=xla_opts)
     def eval_step(state: TrainState, buffer_arrays, idxs, aug_draws, key):

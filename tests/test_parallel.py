@@ -383,3 +383,54 @@ def test_behavior_step_dp_sharded_matches_single(tiny_cfg, tiny_buffer):
                     jax.tree_util.tree_leaves(state_b.actor_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_cli_mesh_training_end_to_end(tiny_cfg, tiny_dataset_dir,
+                                      tmp_path_factory):
+    """Multi-chip training is reachable from config alone: train.mesh
+    builds the mesh inside loop.run (no code), the TrainState is placed on
+    it (model-axis kernels sharded — asserted non-vacuous via
+    min_shard_width=1), training completes with finite metrics, and a
+    resume restores the checkpoint back onto the mesh."""
+    import copy
+    import glob
+    import json
+    import os
+
+    from multimodal_rssm_tpu.train.loop import run
+
+    cfg = copy.deepcopy(tiny_cfg)
+    cfg.main.experiment_name = "mesh_cli"
+    cfg.train.train_data_path = tiny_dataset_dir
+    cfg.train.validation_data_path = tiny_dataset_dir
+    cfg.train.train_iteration = 3
+    cfg.train.checkpoint_interval = 3
+    cfg.train.validation_interval = 2
+    cfg.train.mesh = {"data": 2, "model": 2, "slice": 1,
+                      "min_shard_width": 1}
+
+    cwd = str(tmp_path_factory.mktemp("mesh_cli"))
+    state, results_dir = run(copy.deepcopy(cfg), cwd=cwd)
+    assert int(state.step) == 3
+
+    # the model axis actually sharded at least one kernel, and the layout
+    # SURVIVED the jitted steps (trainer pins it with a sharding
+    # constraint — GSPMD would otherwise resolve the output replicated)
+    sharded = [
+        l for l in jax.tree_util.tree_leaves(state.params)
+        if hasattr(l, "sharding") and not l.sharding.is_fully_replicated
+    ]
+    assert sharded, "model-axis sharding was vacuous"
+
+    lines = [json.loads(l)
+             for l in open(os.path.join(results_dir, "metrics.jsonl"))]
+    losses = [l["loss/train"] for l in lines if "loss/train" in l]
+    assert len(losses) == 3 and np.isfinite(losses).all()
+    assert glob.glob(os.path.join(results_dir, "models_3.msgpack"))
+
+    # resume onto the mesh: restore (host numpy leaves) -> _place -> 2 more
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.train.train_iteration = 5
+    state2, results_dir2 = run(cfg2, cwd=cwd, resume_dir=results_dir)
+    assert results_dir2 == results_dir
+    assert int(state2.step) == 5
