@@ -123,7 +123,7 @@ class AsyncCheckpointer:
         self._last_path: Optional[str] = None
 
     def save(self, results_dir: str, step: int, train_state,
-             extra: Optional[Dict[str, Any]] = None) -> None:
+             extra: Optional[Dict[str, Any]] = None, keep: int = 0) -> None:
         snapshot = jax.tree_util.tree_map(jnp.copy, train_state)
         self.wait()
 
@@ -131,6 +131,7 @@ class AsyncCheckpointer:
             try:
                 self._last_path = save_checkpoint(
                     results_dir, step, snapshot, extra)
+                prune_checkpoints(results_dir, keep)
             except BaseException as e:  # surfaced on the next wait()
                 self._error = e
 
@@ -148,6 +149,26 @@ class AsyncCheckpointer:
             err, self._error = self._error, None
             raise err
         return self._last_path
+
+
+def prune_checkpoints(results_dir: str, keep: int) -> list:
+    """Keep only the ``keep`` highest-step ``models_*.msgpack`` files
+    (0 = keep everything, the reference's behaviour — it accumulates one
+    ~0.4 GB file per 1000 iters forever).  Returns the deleted paths.
+    Only process 0 deletes (mirrors the writer side)."""
+    if keep <= 0 or jax.process_index() != 0:
+        return []
+    found = []
+    if os.path.isdir(results_dir):
+        for name in os.listdir(results_dir):
+            m = re.fullmatch(r"models_(\d+)\.msgpack", name)
+            if m:
+                found.append((int(m.group(1)), os.path.join(results_dir, name)))
+    found.sort()
+    doomed = [p for _, p in found[:-keep]] if len(found) > keep else []
+    for p in doomed:
+        os.remove(p)
+    return doomed
 
 
 def latest_checkpoint(results_dir: str) -> Optional[str]:

@@ -175,6 +175,9 @@ def train(cfg, cwd, results_dir, logger, key, mesh=None, progress=True):
     saver = ckpt.AsyncCheckpointer() if (
         bool(cfg.train.get("async_checkpoint", True))
         and jax.process_count() == 1) else None
+    # retention: keep only the newest N cadence checkpoints (0 = all, the
+    # reference's behaviour — one ~0.4 GB file per interval forever)
+    ckpt_keep = int(cfg.train.get("keep_checkpoints", 0) or 0)
     shutdown = GracefulShutdown()
     with shutdown:
         for itr in iterator:
@@ -239,9 +242,11 @@ def train(cfg, cwd, results_dir, logger, key, mesh=None, progress=True):
             if itr % ckpt_every == 0:
                 extra = {"key": np.asarray(jax.device_get(key))}
                 if saver is not None:
-                    saver.save(results_dir, itr, state, extra)
+                    saver.save(results_dir, itr, state, extra,
+                               keep=ckpt_keep)
                 else:
                     ckpt.save_checkpoint(results_dir, itr, state, extra)
+                    ckpt.prune_checkpoints(results_dir, ckpt_keep)
                 last_ckpt_step = itr
             completed = itr
 

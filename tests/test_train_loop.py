@@ -354,3 +354,39 @@ def test_xla_options_reach_the_compiled_step(tiny_cfg, tiny_dataset_dir):
     good_step, _ = tr.make_train_step(model, good, optimizer, spec)
     _, metrics = good_step(state, raw, draws.draw(), key)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_prune_checkpoints(tmp_path):
+    """io/checkpoint.prune_checkpoints keeps the N highest-step files;
+    0 keeps everything (reference behaviour)."""
+    from multimodal_rssm_tpu.io import checkpoint as ckpt
+
+    d = str(tmp_path)
+    for step in (3, 6, 9, 12):
+        ckpt.save_checkpoint(d, step, {"w": np.ones(2, np.float32)})
+    assert ckpt.prune_checkpoints(d, 0) == []
+    deleted = ckpt.prune_checkpoints(d, 2)
+    assert sorted(os.path.basename(p) for p in deleted) == [
+        "models_3.msgpack", "models_6.msgpack"]
+    left = sorted(os.path.basename(p)
+                  for p in glob.glob(os.path.join(d, "models_*.msgpack")))
+    assert left == ["models_12.msgpack", "models_9.msgpack"]
+    assert ckpt.latest_checkpoint(d).endswith("models_12.msgpack")
+    # idempotent below the threshold
+    assert ckpt.prune_checkpoints(d, 2) == []
+
+
+def test_loop_checkpoint_retention(run_cfg, tmp_path_factory):
+    """train.keep_checkpoints=1 through the loop (async writer path):
+    only the newest cadence checkpoint survives the run."""
+    from multimodal_rssm_tpu.train.loop import run
+
+    cfg = copy.deepcopy(run_cfg)
+    cfg.main.experiment_name = "retention"
+    cfg.train.keep_checkpoints = 1
+    cwd = str(tmp_path_factory.mktemp("retention"))
+    state, results_dir = run(cfg, cwd=cwd)
+    assert int(state.step) == 6
+    ckpts = sorted(os.path.basename(p) for p in glob.glob(
+        os.path.join(results_dir, "models_*.msgpack")))
+    assert ckpts == ["models_6.msgpack"]
