@@ -34,7 +34,7 @@ VARIANTS = {
 }
 
 
-def measure(overrides, steps, episodes=4, ep_len=120):
+def measure(overrides, steps, episodes=4, ep_len=120, xla_options=None):
     import jax
     import jax.numpy as jnp
 
@@ -46,6 +46,10 @@ def measure(overrides, steps, episodes=4, ep_len=120):
 
     cfg = compose(os.path.join(os.path.dirname(__file__), "..", "configs"),
                   overrides=["train.experience_size=20000"] + overrides)
+    if xla_options is not None:
+        # replace (not merge): the sweep states the full option set so each
+        # row is self-describing
+        cfg.train.xla_options = xla_options
     shapes = {
         "image_horizon": cfg.env.observation_shapes["image_horizon"],
         "sound": cfg.env.observation_shapes["sound"],
@@ -108,11 +112,56 @@ def measure(overrides, steps, episodes=4, ep_len=120):
     return steps / el, 1e3 * el / steps, loss, frames
 
 
+def _parse_xla_spec(spec):
+    """``k=v,k=v`` -> dict with int/bool literal coercion ('' -> {})."""
+    out = {}
+    for item in filter(None, spec.split(",")):
+        k, v = item.split("=", 1)
+        if v in ("true", "false"):
+            out[k] = v == "true"
+        else:
+            for cast in (int, float):
+                try:
+                    out[k] = cast(v)
+                    break
+                except ValueError:
+                    continue
+            else:
+                out[k] = v
+    return out
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--variants", default="remat")
     parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument(
+        "--xla", action="append", default=None, metavar="SPEC",
+        help="sweep XLA compiler options instead of config variants: each "
+             "SPEC is a full 'k=v,k=v' option set (repeatable; 'default' = "
+             "shipped config value, 'none' = compiler defaults).  Unknown "
+             "flags fail at compile time and are reported per-row.")
     args = parser.parse_args()
+
+    if args.xla is not None:
+        for spec in args.xla:
+            if spec == "default":
+                xla = None      # leave the shipped train.yaml value
+            elif spec == "none":
+                xla = {}
+            else:
+                xla = _parse_xla_spec(spec)
+            try:
+                sps, ms, loss, frames = measure([], args.steps,
+                                                xla_options=xla)
+            except Exception as e:
+                print(f"xla[{spec}] FAILED: {type(e).__name__}: "
+                      f"{str(e).splitlines()[0][:160]}", flush=True)
+                continue
+            print(f"xla[{spec}] {sps:7.3f} steps/s  {ms:7.0f} ms/step  "
+                  f"loss {loss:.1f}", flush=True)
+        return
+
     for name in args.variants.split(","):
         try:
             sps, ms, loss, frames = measure(VARIANTS[name], args.steps)
