@@ -58,19 +58,68 @@ class GracefulShutdown:
         return False
 
 
-def enable_persistent_cache(min_compile_secs: float = 1.0) -> str:
-    """Point JAX's compilation cache at ``<repo>/.jax_cache`` (gitignored).
+def _cpu_host_tag() -> str:
+    """Fingerprint of the host CPU microarchitecture (ISA feature set).
 
-    Must run before the first compilation; safe to call more than once.
+    JAX's CPU cache key does not include the compile machine's features, so
+    an ``.jax_cache`` shared across container hosts (this repo persists
+    while the underlying machine changes between sessions) serves AOT
+    results built for a *different* CPU — jaxlib logs a feature-mismatch
+    error per load and warns of possible SIGILL.  Scoping the CPU cache by
+    this tag makes entries host-local.
+    """
+    import hashlib
+    import platform
+
+    tag = platform.machine() or "unknown"
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return f"{tag}-{hashlib.sha1(feats.encode()).hexdigest()[:10]}"
+    except OSError:
+        pass
+    return tag
+
+
+def enable_persistent_cache(min_compile_secs: float = 1.0) -> str:
+    """Point JAX's compilation cache at ``<repo>/.jax_cache/<backend…>``
+    (gitignored).
+
+    Scoped per backend: TPU programs are compiled remotely, so their cache
+    entries are host-independent and shared (``tpu/``); CPU entries are
+    host-specific AOT code, scoped by a CPU-feature fingerprint
+    (``cpu-<tag>/``) so a cache carried across different container hosts
+    never serves mismatched machine code (see :func:`_cpu_host_tag`).
+
+    Must run before the first compilation (all CLI entry points call it at
+    startup, after any platform selection); safe to call more than once.
     Returns the cache directory.
     """
     import jax
 
-    cache_dir = os.path.join(
+    backend = jax.default_backend()
+    sub = f"cpu-{_cpu_host_tag()}" if backend == "cpu" else backend
+    root = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))),
         ".jax_cache",
     )
+    cache_dir = os.path.join(root, sub)
+    if backend != "cpu":
+        # one-time migration of pre-scoping entries from the cache root:
+        # keys embed the platform, so mis-homed CPU blobs are never served
+        # to TPU lookups — while the (expensive, remotely-compiled) TPU
+        # entries stay warm
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            for name in os.listdir(root):
+                src = os.path.join(root, name)
+                if name.endswith("-cache") and os.path.isfile(src):
+                    os.replace(src, os.path.join(cache_dir, name))
+        except OSError:
+            pass
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       float(min_compile_secs))
