@@ -28,6 +28,13 @@ def main():
     parser.add_argument("--stochastic", action="store_true",
                         help="sample the actor instead of the mode-seeking "
                              "deterministic action")
+    parser.add_argument("--policy", default="actor",
+                        choices=["actor", "cem"],
+                        help="'actor': trained behavior head (needs the "
+                             "behavior/ checkpoint); 'cem': zero-shot CEM "
+                             "planning through the world model alone "
+                             "(train/planner.py — planner.* overrides set "
+                             "horizon/candidates)")
     parser.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     args = parser.parse_args()
 
@@ -56,28 +63,44 @@ def main():
     bh.behavior_cfg(cfg)
 
     wm_path = ckpt.latest_checkpoint(args.run_dir)
-    bh_path = ckpt.latest_checkpoint(os.path.join(args.run_dir, "behavior"))
-    if wm_path is None or bh_path is None:
-        raise FileNotFoundError(
-            f"need models_*.msgpack in {args.run_dir} and its behavior/ dir"
-        )
-    print(f"world model: {wm_path}\nactor/value: {bh_path}", file=sys.stderr)
+    if wm_path is None:
+        raise FileNotFoundError(f"need models_*.msgpack in {args.run_dir}")
 
     model = WorldModel.from_config(cfg, dtype=tr.compute_dtype(cfg))
     wm_variables = load_model_variables(model, cfg, wm_path)
     wm_variables.setdefault("batch_stats", {})
 
-    actor, value = bh.build_policy_models(cfg)
-    actor_opt, value_opt = bh.build_behavior_optimizers(cfg)
-    template = bh.init_behavior_state(cfg, actor, value, actor_opt,
-                                      value_opt, jax.random.PRNGKey(0))
-    bstate, _, _ = ckpt.load_checkpoint(bh_path, template)
+    agent = None
+    actor = actor_params = None
+    if args.policy == "cem":
+        from multimodal_rssm_tpu.data.buffer import build_buffer
+        from multimodal_rssm_tpu.train.planner import CEMAgent
+
+        print(f"world model: {wm_path}\npolicy: CEM planner",
+              file=sys.stderr)
+        agent = CEMAgent(cfg, model, build_buffer(cfg))
+    else:
+        bh_path = ckpt.latest_checkpoint(
+            os.path.join(args.run_dir, "behavior"))
+        if bh_path is None:
+            raise FileNotFoundError(
+                f"need a behavior/ checkpoint in {args.run_dir} for "
+                "--policy actor (or use --policy cem)"
+            )
+        print(f"world model: {wm_path}\nactor/value: {bh_path}",
+              file=sys.stderr)
+        actor, value = bh.build_policy_models(cfg)
+        actor_opt, value_opt = bh.build_behavior_optimizers(cfg)
+        template = bh.init_behavior_state(cfg, actor, value, actor_opt,
+                                          value_opt, jax.random.PRNGKey(0))
+        bstate, _, _ = ckpt.load_checkpoint(bh_path, template)
+        actor_params = bstate.actor_params
 
     env = make_env(args.env, length=args.env_length)
     stats = evaluate_policy(cfg, env, model, wm_variables, actor,
-                            bstate.actor_params, episodes=args.episodes,
+                            actor_params, episodes=args.episodes,
                             seed=int(cfg.main.seed or 0),
-                            det=not args.stochastic)
+                            det=not args.stochastic, agent=agent)
     print(json.dumps(stats))
 
 

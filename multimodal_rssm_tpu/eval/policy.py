@@ -19,10 +19,15 @@ from multimodal_rssm_tpu.train.agent import LatentAgent
 
 def evaluate_policy(cfg, env, model, wm_variables, actor, actor_params,
                     episodes: int = 5, seed: int = 0,
-                    det: bool = True) -> Dict[str, object]:
+                    det: bool = True, agent=None) -> Dict[str, object]:
     """Returns {"returns": [...], "mean_return", "std_return",
-    "mean_steps"} over ``episodes`` greedy episodes."""
-    agent = LatentAgent(cfg, model, actor, build_buffer(cfg))
+    "mean_steps"} over ``episodes`` greedy episodes.
+
+    ``agent``: a pre-built LatentAgent-compatible agent (e.g.
+    planner.CEMAgent, which ignores ``actor``/``actor_params``); default
+    builds the actor-head agent."""
+    if agent is None:
+        agent = LatentAgent(cfg, model, actor, build_buffer(cfg))
     key = jax.random.PRNGKey(seed)
     returns: List[float] = []
     steps_list: List[float] = []
