@@ -83,7 +83,8 @@ def _cpu_host_tag() -> str:
     return tag
 
 
-def enable_persistent_cache(min_compile_secs: float = 1.0) -> str:
+def enable_persistent_cache(min_compile_secs: float = 1.0,
+                            root: str = None) -> str:
     """Point JAX's compilation cache at ``<repo>/.jax_cache/<backend…>``
     (gitignored).
 
@@ -101,11 +102,12 @@ def enable_persistent_cache(min_compile_secs: float = 1.0) -> str:
 
     backend = jax.default_backend()
     sub = f"cpu-{_cpu_host_tag()}" if backend == "cpu" else backend
-    root = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))),
-        ".jax_cache",
-    )
+    if root is None:
+        root = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            ".jax_cache",
+        )
     cache_dir = os.path.join(root, sub)
     if backend != "cpu":
         # one-time migration of pre-scoping entries from the cache root:
