@@ -22,6 +22,11 @@ Seeding uses ``seed_episodes`` random-policy episodes so the first
 samples exist.  ``rssm.predict_reward`` is forcibly enabled: imagination
 returns come from the learned reward head, so it must be trained (the
 reference's offline configs ship ``predict_reward: False``).
+
+``online.collect_policy="cem"`` switches the loop to the family's other
+canonical agent, PlaNet (Hafner et al. 2019): collection plans through
+the world model's reward head every step (train/planner.py) and behavior
+(actor-critic) training is skipped entirely.
 """
 
 from typing import Dict, Optional
@@ -52,6 +57,10 @@ ONLINE_DEFAULTS = {
     # reference config key its offline path never reads, train.yaml:20)
     "expl_noise": None,
     "checkpoint_interval": 10,  # episodes
+    # "actor": Dreamer (actor-critic in imagination drives collection);
+    # "cem": PlaNet (collection by CEM planning through the model's reward
+    # head, train/planner.py — no behavior training at all)
+    "collect_policy": "actor",
 }
 
 
@@ -61,6 +70,10 @@ def online_cfg(cfg):
     section = dict(ONLINE_DEFAULTS)
     section.update(dict(cfg.get("online", {}) or {}))
     cfg["online"] = section
+    if section["collect_policy"] not in ("actor", "cem"):
+        raise ValueError(
+            f"online.collect_policy must be 'actor' or 'cem', got "
+            f"{section['collect_policy']!r}")
     bh.behavior_cfg(cfg)
     if not cfg.rssm.predict_reward:
         print("online training: enabling rssm.predict_reward "
@@ -141,14 +154,24 @@ def run_online(cfg, env, results_dir: str, logger, key,
          jnp.asarray(sample[3])),
     )
 
-    actor, value = bh.build_policy_models(cfg)
-    actor_opt, value_opt = bh.build_behavior_optimizers(cfg)
-    key, bh_key = jax.random.split(key)
-    bstate = bh.init_behavior_state(cfg, actor, value, actor_opt,
-                                    value_opt, bh_key)
-    behavior_step = bh.make_behavior_step(model, cfg, actor, value,
-                                          actor_opt, value_opt, aug_spec)
-    agent = LatentAgent(cfg, model, actor, D)
+    planning = str(o.collect_policy) == "cem"
+    if planning:
+        # PlaNet: no behavior training — collection plans through the
+        # world model's reward head every step
+        from multimodal_rssm_tpu.train.planner import CEMAgent
+
+        bstate = None
+        behavior_step = None
+        agent = CEMAgent(cfg, model, D)
+    else:
+        actor, value = bh.build_policy_models(cfg)
+        actor_opt, value_opt = bh.build_behavior_optimizers(cfg)
+        key, bh_key = jax.random.split(key)
+        bstate = bh.init_behavior_state(cfg, actor, value, actor_opt,
+                                        value_opt, bh_key)
+        behavior_step = bh.make_behavior_step(model, cfg, actor, value,
+                                              actor_opt, value_opt, aug_spec)
+        agent = LatentAgent(cfg, model, actor, D)
 
     episodes = int(o.episodes)
     updates = int(o.collect_interval)
@@ -165,11 +188,12 @@ def run_online(cfg, env, results_dir: str, logger, key,
                 key, k1, k2 = jax.random.split(key, 3)
                 state, wm_metrics = train_step(
                     state, prefetcher.get(), draws.draw(), k1)
-                wm_variables = {"params": state.params,
-                                "batch_stats": state.batch_stats}
-                bstate, bh_metrics = behavior_step(
-                    bstate, wm_variables, prefetcher.get(),
-                    draws.draw(), k2)
+                if behavior_step is not None:
+                    wm_variables = {"params": state.params,
+                                    "batch_stats": state.batch_stats}
+                    bstate, bh_metrics = behavior_step(
+                        bstate, wm_variables, prefetcher.get(),
+                        draws.draw(), k2)
         finally:
             prefetcher.close()
 
@@ -177,7 +201,8 @@ def run_online(cfg, env, results_dir: str, logger, key,
         wm_variables = {"params": state.params,
                         "batch_stats": state.batch_stats}
         ep_metrics = collect_episode(
-            env, D, agent, wm_variables, bstate.actor_params, k, rng,
+            env, D, agent, wm_variables,
+            None if bstate is None else bstate.actor_params, k, rng,
             seed=seed * 10_000 + 7_000 + episode,
         )
         host = {**ep_metrics,
@@ -194,8 +219,9 @@ def run_online(cfg, env, results_dir: str, logger, key,
                   flush=True)
         if episode % int(o.checkpoint_interval) == 0 or episode == episodes:
             ckpt.save_checkpoint(results_dir, episode, state)
-            ckpt.save_checkpoint(
-                _subdir(results_dir, "behavior"), episode, bstate)
+            if bstate is not None:
+                ckpt.save_checkpoint(
+                    _subdir(results_dir, "behavior"), episode, bstate)
     return state, bstate
 
 

@@ -116,6 +116,57 @@ def test_cem_planner_deterministic_given_key(planner_setup):
     assert not np.allclose(np.asarray(a1), np.asarray(a3))
 
 
+def test_run_online_planet_mode(tiny_cfg, tmp_path):
+    """online.collect_policy=cem is the PlaNet loop: world-model updates +
+    planned collection, no behavior training or checkpoint at all."""
+    import json
+    import os
+
+    from multimodal_rssm_tpu.io.metrics import MetricLogger
+    from multimodal_rssm_tpu.train.online import online_cfg, run_online
+
+    cfg = copy.deepcopy(tiny_cfg)
+    cfg.online = {
+        "seed_episodes": 2,
+        "episodes": 2,
+        "collect_interval": 1,
+        "checkpoint_interval": 2,
+        "collect_policy": "cem",
+    }
+    cfg["planner"] = {
+        "planning_horizon": 3,
+        "optimisation_iters": 2,
+        "candidates": 16,
+        "top_candidates": 4,
+    }
+    online_cfg(cfg)
+    env = SyntheticEnv(length=12, seed=0)
+    logger = MetricLogger(str(tmp_path))
+    state, bstate = run_online(cfg, env, str(tmp_path), logger,
+                               jax.random.PRNGKey(0), progress=False)
+    logger.finish()
+    assert bstate is None
+    rows = [json.loads(l) for l in open(os.path.join(tmp_path,
+                                                     "metrics.jsonl"))]
+    online_rows = [r for r in rows if "episode_reward/online" in r]
+    assert len(online_rows) == 2
+    for r in online_rows:
+        assert np.isfinite(r["wm_loss/online"])
+        assert "actor_loss/online" not in r
+    assert os.path.exists(os.path.join(tmp_path, "models_2.msgpack"))
+    assert not os.path.exists(os.path.join(tmp_path, "behavior"))
+    assert int(state.step) == 2
+
+
+def test_online_cfg_rejects_unknown_collect_policy(tiny_cfg):
+    from multimodal_rssm_tpu.train.online import online_cfg
+
+    cfg = copy.deepcopy(tiny_cfg)
+    cfg.online = {"collect_policy": "nope"}
+    with pytest.raises(ValueError, match="collect_policy"):
+        online_cfg(cfg)
+
+
 def test_cem_agent_env_contract(planner_setup, tiny_buffer):
     """CEMAgent: bounded actions, belief carried across frames, no
     behavior checkpoint involved."""
