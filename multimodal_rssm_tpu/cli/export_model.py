@@ -12,6 +12,9 @@ code or config needed at load time (io/export.py):
 - ``agent_step.jaxexport``: raw frame -> posterior update -> greedy
   action (full controller step; needs a behavior/ checkpoint from
   scripts/train_behavior.py or train_online.py)
+- ``plan_step.jaxexport`` (``--plan``): raw frame -> posterior update ->
+  CEM-planned action (zero-shot MPC, train/planner.py — world-model
+  weights only; ``planner.*`` overrides are baked in at export time)
 
     python scripts/export_model.py --run-dir results/.../run_0 \
         --out exported/ [--batch-size 1] [--platforms cpu,tpu]
@@ -36,6 +39,9 @@ def main():
                              "(default: current backend)")
     parser.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                         help="backend to trace/export on")
+    parser.add_argument("--plan", action="store_true",
+                        help="also export plan_step (CEM planning "
+                             "controller; no behavior checkpoint needed)")
     args = parser.parse_args()
 
     if args.platform:
@@ -103,6 +109,13 @@ def main():
     else:
         print("no behavior/ checkpoint: skipping agent_step export",
               file=sys.stderr)
+
+    if args.plan:
+        art = ex.export_plan_step(cfg, model, variables,
+                                  batch_size=args.batch_size,
+                                  platforms=platforms)
+        written["plan_step"] = ex.save_exported(
+            art, os.path.join(out_dir, "plan_step.jaxexport"))
 
     print(json.dumps({k: {"path": v, "bytes": os.path.getsize(v)}
                       for k, v in written.items()}))

@@ -164,6 +164,47 @@ def export_agent_step(cfg, model, actor, wm_variables, actor_params,
     return jexport.export(jax.jit(fn), platforms=platforms)(*args)
 
 
+def export_plan_step(cfg, model, wm_variables, batch_size: int = 1,
+                     platforms: Optional[Sequence[str]] = None):
+    """Export the zero-shot MPC controller step: raw frame -> posterior
+    update -> CEM-planned action (train/planner.py; the whole candidate
+    search is inside the artifact as one lax.scan program).  Needs only the
+    world-model weights — no behavior checkpoint.  ``cfg.planner`` sets
+    horizon/candidates/iterations at export time and is baked in.
+
+    Calling convention (same as agent_step):
+        call(belief, state, prev_action, observations, nonterminal, key)
+        -> (belief', state', action)
+    """
+    from multimodal_rssm_tpu.train.planner import make_cem_planner
+
+    bit_depth = int(cfg.env.bit_depth)
+    wm_variables = _as_jax(wm_variables)
+    plan = make_cem_planner(model, cfg)
+
+    def fn(h, s, prev_action, observations, nonterminal, key):
+        obs = _normalize_obs(observations, bit_depth)
+        states = model.apply(
+            wm_variables, h, s, prev_action, obs, nonterminal, None, True,
+            False, method=model.filter_step,
+        )
+        h2 = states["beliefs"]
+        s2 = states["posterior_means"]
+        action = plan(wm_variables, h2, s2, key)
+        return h2, s2, action
+
+    B = batch_size
+    args = (
+        jax.ShapeDtypeStruct((B, int(model.belief_size)), jnp.float32),
+        jax.ShapeDtypeStruct((B, int(model.state_size)), jnp.float32),
+        jax.ShapeDtypeStruct((B, int(cfg.env.action_size)), jnp.float32),
+        _obs_structs(cfg, B),
+        jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        jax.ShapeDtypeStruct((2,), jnp.uint32),
+    )
+    return jexport.export(jax.jit(fn), platforms=platforms)(*args)
+
+
 def save_exported(exported, path: str) -> str:
     """Serialize an Exported to ``path`` atomically; returns the path."""
     data = exported.serialize()

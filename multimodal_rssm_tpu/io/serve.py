@@ -95,6 +95,7 @@ class ArtifactStore:
     ARG_NAMES = {
         "filter_step": ("h", "s", "action", "obs", "nonterminal", "key"),
         "agent_step": ("h", "s", "action", "obs", "nonterminal", "key"),
+        "plan_step": ("h", "s", "action", "obs", "nonterminal", "key"),
         "decode": ("h", "s"),
     }
 

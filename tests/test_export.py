@@ -200,3 +200,51 @@ def test_export_agent_step(exported_setup, tmp_path):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(h2),
                                np.asarray(states["beliefs"]), atol=1e-6)
+
+
+def test_export_plan_step(exported_setup, tmp_path):
+    """Zero-shot MPC artifact: raw frame -> posterior -> CEM-planned
+    action; matches the live filter+planner composition exactly (the whole
+    candidate search is baked into the artifact)."""
+    import copy
+
+    from multimodal_rssm_tpu.train.planner import make_cem_planner
+
+    cfg, model, variables = exported_setup
+    cfg = copy.deepcopy(cfg)
+    cfg["planner"] = {
+        "planning_horizon": 3,
+        "optimisation_iters": 2,
+        "candidates": 16,
+        "top_candidates": 4,
+    }
+    B = 1
+    art = ex.export_plan_step(cfg, model, variables, batch_size=B)
+    exp = ex.load_exported(
+        ex.save_exported(art, str(tmp_path / "p.jaxexport")))
+
+    h = jnp.zeros((B, model.belief_size), jnp.float32)
+    s = jnp.zeros((B, model.state_size), jnp.float32)
+    obs = {k: jnp.asarray(v) for k, v in _raw_frame(cfg, B).items()}
+    action0 = jnp.zeros((B, int(cfg.env.action_size)), jnp.float32)
+    nt = jnp.ones((B, 1), jnp.float32)
+    key = jax.random.PRNGKey(11)
+    h2, s2, act_out = exp.call(h, s, action0, obs, nt, _keydata(key))
+    assert act_out.shape == (B, int(cfg.env.action_size))
+    assert np.all(np.abs(np.asarray(act_out)) <= 1.0)
+
+    bit_depth = int(cfg.env.bit_depth)
+    norm = {
+        k: (normalize_image_deterministic(v, bit_depth) if "image" in k
+            else v.astype(jnp.float32))
+        for k, v in obs.items()
+    }
+    states = model.apply(variables, h, s, action0, norm, nt, None, True,
+                         False, method=model.filter_step)
+    plan = make_cem_planner(model, cfg)
+    ref_act = plan(variables, states["beliefs"], states["posterior_means"],
+                   key)
+    np.testing.assert_allclose(np.asarray(act_out), np.asarray(ref_act),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h2),
+                               np.asarray(states["beliefs"]), atol=1e-6)
