@@ -22,11 +22,12 @@ import jax  # noqa: E402
 # JAX_PLATFORMS=cpu is in the env; the config update below wins.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from multimodal_rssm_tpu.core.runtime import enable_persistent_cache  # noqa: E402
+
+# host-scoped CPU cache dir (core/runtime.py): entries are AOT machine
+# code, so a cache carried across container hosts must not be shared
+enable_persistent_cache(min_compile_secs=0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
