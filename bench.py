@@ -49,7 +49,6 @@ def main():
 
     from multimodal_rssm_tpu.core.config import compose
     from multimodal_rssm_tpu.data.buffer import build_buffer
-    from multimodal_rssm_tpu.data.synthetic import synthetic_episode
     from multimodal_rssm_tpu.models.world_model import WorldModel
     from multimodal_rssm_tpu.train import trainer as tr
 
@@ -78,27 +77,12 @@ def main():
     cfg = compose(cfg_dir, overrides=overrides)
 
     # synthetic episodes straight into the buffer (no filesystem round trip)
-    shapes = {
-        "image_horizon": cfg.env.observation_shapes["image_horizon"],
-        "sound": cfg.env.observation_shapes["sound"],
-    }
-    D = build_buffer(cfg)
-    import numpy as np
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "scripts"))
+    from _profiling_common import fill_synthetic_buffer
 
-    for i in range(args.episodes):
-        ep = synthetic_episode(args.episode_length, shapes,
-                               cfg.env.action_name, int(cfg.env.action_size),
-                               seed=i)
-        ep["nonterminals"] = 1.0 - np.expand_dims(ep.pop("done"), -1)
-        idx = np.arange(D.idx, D.idx + args.episode_length)
-        for name in D.observation_names:
-            D.observations[name][idx] = ep[name]
-        D.actions[idx] = ep[cfg.env.action_name]
-        D.rewards[idx] = ep["reward"]
-        D.nonterminals[idx] = ep["nonterminals"]
-        D.idx += args.episode_length
-        D.steps += args.episode_length
-        D.episodes += 1
+    D = fill_synthetic_buffer(build_buffer(cfg), cfg, episodes=args.episodes,
+                              ep_len=args.episode_length)
 
     model = WorldModel.from_config(cfg, dtype=tr.compute_dtype(cfg))
     optimizer = tr.build_optimizer(cfg)

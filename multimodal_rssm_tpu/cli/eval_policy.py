@@ -74,8 +74,15 @@ def main():
     actor = actor_params = None
     if args.policy == "cem":
         from multimodal_rssm_tpu.data.buffer import build_buffer
-        from multimodal_rssm_tpu.train.planner import CEMAgent
+        from multimodal_rssm_tpu.train.planner import (
+            CEMAgent,
+            check_reward_head_trained,
+        )
 
+        check_reward_head_trained(cfg, "--policy cem")
+        if args.stochastic:
+            parser.error("--stochastic only applies to --policy actor "
+                         "(CEM planning is already the greedy policy)")
         print(f"world model: {wm_path}\npolicy: CEM planner",
               file=sys.stderr)
         agent = CEMAgent(cfg, model, build_buffer(cfg))

@@ -111,6 +111,9 @@ def main():
               file=sys.stderr)
 
     if args.plan:
+        from multimodal_rssm_tpu.train.planner import check_reward_head_trained
+
+        check_reward_head_trained(cfg, "--plan (plan_step export)")
         art = ex.export_plan_step(cfg, model, variables,
                                   batch_size=args.batch_size,
                                   platforms=platforms)

@@ -49,6 +49,29 @@ def planner_cfg(cfg):
     return cfg
 
 
+def check_reward_head_trained(cfg, what: str = "CEM planning"):
+    """Fail loudly when the run's reward head was never trained.
+
+    The planner maximizes the model's reward predictions, but the shipped
+    offline configs set ``rssm.predict_reward: False`` (the reference's
+    default — its loss zeroes the reward term, so the head's parameters
+    stay at their random init).  Planning against that head returns
+    meaningless actions with healthy-looking statistics; the saved run
+    config records the truth, so refuse instead.  Escape hatch: pass
+    ``rssm.predict_reward=true`` as an explicit CLI override.
+    """
+    if not cfg.rssm.predict_reward:
+        raise ValueError(
+            f"{what} optimizes the model's reward head, but this run was "
+            "trained with rssm.predict_reward=False (the reward loss was "
+            "zeroed, so the head is untrained random init) — its plans "
+            "would be meaningless.  Train with rssm.predict_reward=True "
+            "(train_online.py enables it automatically), or override "
+            "rssm.predict_reward=true explicitly if you know the head is "
+            "trained."
+        )
+
+
 def make_cem_planner(model: WorldModel, cfg, full_sequence: bool = False):
     """Build ``plan(wm_variables, h, s, key) -> action [B, A]``.
 

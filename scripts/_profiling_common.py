@@ -16,6 +16,35 @@ def enable_compile_cache():
     enable_persistent_cache()
 
 
+def fill_synthetic_buffer(D, cfg, episodes: int = 4, ep_len: int = 120):
+    """Write ``episodes`` synthetic COBOTTA-schema episodes straight into
+    the host ring buffer (no filesystem round trip) — the shared buffer
+    population for bench.py / sweep_perf / bench_scaling, so the
+    done->nonterminals and row conventions can't drift between harnesses."""
+    import numpy as np
+
+    from multimodal_rssm_tpu.data.synthetic import synthetic_episode
+
+    shapes = {
+        "image_horizon": cfg.env.observation_shapes["image_horizon"],
+        "sound": cfg.env.observation_shapes["sound"],
+    }
+    for i in range(episodes):
+        ep = synthetic_episode(ep_len, shapes, cfg.env.action_name,
+                               int(cfg.env.action_size), seed=i)
+        ep["nonterminals"] = 1.0 - np.expand_dims(ep.pop("done"), -1)
+        idx = np.arange(D.idx, D.idx + ep_len)
+        for name in D.observation_names:
+            D.observations[name][idx] = ep[name]
+        D.actions[idx] = ep[cfg.env.action_name]
+        D.rewards[idx] = ep["reward"]
+        D.nonterminals[idx] = ep["nonterminals"]
+        D.idx += ep_len
+        D.steps += ep_len
+        D.episodes += 1
+    return D
+
+
 def build_step_setup(batch_size: int, chunk_size: int, overrides=()):
     """Compose the config, build a synthetic raw batch, the image-only
     AugSpec/draws, the model, and an initialised TrainState.

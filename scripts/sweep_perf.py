@@ -12,7 +12,6 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import numpy as np  # noqa: E402
 
 
 VARIANTS = {
@@ -40,7 +39,6 @@ def measure(overrides, steps, episodes=4, ep_len=120, xla_options=None):
 
     from multimodal_rssm_tpu.core.config import compose
     from multimodal_rssm_tpu.data.buffer import build_buffer
-    from multimodal_rssm_tpu.data.synthetic import synthetic_episode
     from multimodal_rssm_tpu.models.world_model import WorldModel
     from multimodal_rssm_tpu.train import trainer as tr
 
@@ -50,24 +48,10 @@ def measure(overrides, steps, episodes=4, ep_len=120, xla_options=None):
         # replace (not merge): the sweep states the full option set so each
         # row is self-describing
         cfg.train.xla_options = xla_options
-    shapes = {
-        "image_horizon": cfg.env.observation_shapes["image_horizon"],
-        "sound": cfg.env.observation_shapes["sound"],
-    }
-    D = build_buffer(cfg)
-    for i in range(episodes):
-        ep = synthetic_episode(ep_len, shapes, cfg.env.action_name,
-                               int(cfg.env.action_size), seed=i)
-        ep["nonterminals"] = 1.0 - np.expand_dims(ep.pop("done"), -1)
-        idx = np.arange(D.idx, D.idx + ep_len)
-        for n in D.observation_names:
-            D.observations[n][idx] = ep[n]
-        D.actions[idx] = ep[cfg.env.action_name]
-        D.rewards[idx] = ep["reward"]
-        D.nonterminals[idx] = ep["nonterminals"]
-        D.idx += ep_len
-        D.steps += ep_len
-        D.episodes += 1
+    from _profiling_common import fill_synthetic_buffer
+
+    D = fill_synthetic_buffer(build_buffer(cfg), cfg, episodes=episodes,
+                              ep_len=ep_len)
 
     model = WorldModel.from_config(cfg, dtype=tr.compute_dtype(cfg))
     optimizer = tr.build_optimizer(cfg)

@@ -158,6 +158,20 @@ def test_run_online_planet_mode(tiny_cfg, tmp_path):
     assert int(state.step) == 2
 
 
+def test_reward_head_guard(tiny_cfg):
+    """The CLI surfaces (--policy cem, export --plan) must refuse a run
+    trained with predict_reward=False: the reward head is random init and
+    plans against it are meaningless."""
+    from multimodal_rssm_tpu.train.planner import check_reward_head_trained
+
+    cfg = copy.deepcopy(tiny_cfg)
+    cfg.rssm.predict_reward = False
+    with pytest.raises(ValueError, match="predict_reward"):
+        check_reward_head_trained(cfg)
+    cfg.rssm.predict_reward = True
+    check_reward_head_trained(cfg)  # no raise
+
+
 def test_online_cfg_rejects_unknown_collect_policy(tiny_cfg):
     from multimodal_rssm_tpu.train.online import online_cfg
 

@@ -19,13 +19,18 @@ def test_cpu_host_tag_stable_and_machine_scoped():
 
 
 def _with_restored_cache_config(fn):
+    """Restore BOTH globals enable_persistent_cache touches, so the rest of
+    the suite keeps conftest's cache dir and 0.5 s persistence threshold."""
     import jax
 
-    prev = jax.config.jax_compilation_cache_dir
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
     try:
         return fn()
     finally:
-        jax.config.update("jax_compilation_cache_dir", prev)
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          prev_min)
 
 
 def test_cache_dir_scoped_by_backend(tmp_path):
