@@ -576,7 +576,12 @@ def make_train_step(model: WorldModel, cfg, optimizer, aug_spec: AugSpec,
             metrics[f"grad_norm_{mod}"] = optax.global_norm(sub)
         return constrain(new_state), metrics
 
-    @functools.partial(jax.jit, compiler_options=xla_opts)
+    # eval compiles with compiler DEFAULTS: the shipped train.xla_options
+    # vmem flag miscompiles the no-grad eval program on v5e (finite-vs-NaN
+    # image loss on identical state+batch, DESIGN.md round-2 addendum);
+    # the tuned options were only ever measured on (and only matter for)
+    # the gradient step.
+    @jax.jit
     def eval_step(state: TrainState, raw_batch, aug_draws, key):
         observations, actions, rewards, nonterminals = raw_batch
         key_prep, key_loss = jax.random.split(key)
@@ -667,7 +672,8 @@ def make_device_resident_steps(model: WorldModel, cfg, optimizer,
             metrics[f"grad_norm_{mod}"] = optax.global_norm(sub)
         return constrain(new_state), metrics
 
-    @functools.partial(jax.jit, compiler_options=xla_opts)
+    # compiler defaults for eval — see make_train_step's eval_step note
+    @jax.jit
     def eval_step(state: TrainState, buffer_arrays, idxs, aug_draws, key):
         observations, actions, rewards, nonterminals = gather_batch(
             buffer_arrays, idxs, obs_names
