@@ -212,11 +212,12 @@ def run_online(cfg, env, results_dir: str, logger, key,
                    for k2, v in jax.device_get(bh_metrics).items()}}
         logger.log(host, episode, "online")
         if progress:
-            print(f"[episode {episode}/{episodes}] "
-                  f"reward {host['episode_reward']:.3f} "
-                  f"wm_loss {host.get('wm_loss', float('nan')):.2f} "
-                  f"actor {host.get('actor_loss', float('nan')):.3f}",
-                  flush=True)
+            line = (f"[episode {episode}/{episodes}] "
+                    f"reward {host['episode_reward']:.3f} "
+                    f"wm_loss {host.get('wm_loss', float('nan')):.2f}")
+            if not planning:
+                line += f" actor {host.get('actor_loss', float('nan')):.3f}"
+            print(line, flush=True)
         if episode % int(o.checkpoint_interval) == 0 or episode == episodes:
             ckpt.save_checkpoint(results_dir, episode, state)
             if bstate is not None:
