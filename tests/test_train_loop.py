@@ -355,6 +355,15 @@ def test_xla_options_reach_the_compiled_step(tiny_cfg, tiny_dataset_dir):
     _, metrics = good_step(state, raw, draws.draw(), key)
     assert np.isfinite(float(metrics["loss"]))
 
+    # eval ALWAYS compiles with compiler defaults: the shipped vmem option
+    # miscompiles the no-grad program on v5e (NaN image loss — DESIGN.md
+    # round-2 addendum), so eval must not inherit train.xla_options.  The
+    # invalid flag above proves options reach compilation when applied;
+    # eval running under it proves they are not applied there.
+    _, bad_eval = tr.make_train_step(model, bad, optimizer, spec)
+    vmetrics = bad_eval(state, raw, draws.draw(), key)
+    assert np.isfinite(float(vmetrics["loss"]))
+
 
 def test_prune_checkpoints(tmp_path):
     """io/checkpoint.prune_checkpoints keeps the N highest-step files;
