@@ -352,16 +352,17 @@ def test_xla_options_reach_the_compiled_step(tiny_cfg, tiny_dataset_dir):
     # generic (backend-agnostic) XLA debug option: valid on CPU and TPU
     good.train.xla_options = {"xla_embed_ir_in_executable": True}
     good_step, _ = tr.make_train_step(model, good, optimizer, spec)
-    _, metrics = good_step(state, raw, draws.draw(), key)
+    state2, metrics = good_step(state, raw, draws.draw(), key)
     assert np.isfinite(float(metrics["loss"]))
 
     # eval ALWAYS compiles with compiler defaults: the shipped vmem option
     # miscompiles the no-grad program on v5e (NaN image loss — DESIGN.md
     # round-2 addendum), so eval must not inherit train.xla_options.  The
     # invalid flag above proves options reach compilation when applied;
-    # eval running under it proves they are not applied there.
+    # eval running under it proves they are not applied there.  (state2,
+    # not state: the train step donated its input buffers.)
     _, bad_eval = tr.make_train_step(model, bad, optimizer, spec)
-    vmetrics = bad_eval(state, raw, draws.draw(), key)
+    vmetrics = bad_eval(state2, raw, draws.draw(), key)
     assert np.isfinite(float(vmetrics["loss"]))
 
 
