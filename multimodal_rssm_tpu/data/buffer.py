@@ -42,6 +42,7 @@ class ExperienceReplay:
         action_size: Optional[int] = None,
         bit_depth: int = 5,
         seed: int = 0,
+        load_workers: int = 4,
     ):
         observation_shapes = observation_shapes or {"image": [3, 64, 64]}
         self.size = int(size)
@@ -55,6 +56,7 @@ class ExperienceReplay:
         self.dw_base = dw_base
         self.noise_scales = list(noise_scales) if noise_scales is not None else None
         self.pca_scales = list(pca_scales) if pca_scales is not None else None
+        self.load_workers = int(load_workers)
         self.rng = np.random.default_rng(seed)
 
         self.idx = 0
@@ -147,6 +149,9 @@ class ExperienceReplay:
         data, episode_length = get_data(
             file_name, self.n_crop, self.dh_base, self.dw_base
         )
+        self._write_episode(data, episode_length)
+
+    def _write_episode(self, data, episode_length: int) -> None:
         idx = np.arange(self.idx, self.idx + episode_length) % self.size
         for name in self.observation_names:
             self.observations[name][idx] = data[name]
@@ -161,8 +166,17 @@ class ExperienceReplay:
         self.steps += episode_length
         self.episodes += 1
 
-    def load_dataset(self, dataset_dir: str) -> None:
-        """Load every episode file in a directory (ref memory.py:262-273)."""
+    def load_dataset(self, dataset_dir: str, workers: Optional[int] = None) -> None:
+        """Load every episode file in a directory (ref memory.py:262-273).
+
+        ``workers`` > 1 pipelines the per-file work (np.load + preprocess +
+        margin crop — IO and GIL-releasing numpy) over a thread pool while
+        the ring writes stay strictly in file order, so the resulting
+        buffer is bit-identical to a serial load (tested).  At most
+        ``workers + 2`` episodes are decoded ahead, bounding host memory.
+        Default comes from ``train.load_workers`` (build_buffer); the
+        reference loads serially with a tqdm bar (memory.py:268).
+        """
         file_names = get_file_names(dataset_dir)
         if not file_names:
             # without this the failure surfaces much later as an opaque
@@ -172,8 +186,31 @@ class ExperienceReplay:
                 "train.*_data_path at the episode directory itself "
                 "(e.g. dataset/synthetic/train, not dataset/synthetic)")
         self.file_names += file_names
-        for file_name in file_names:
-            self._set_data_to_buffer(file_name)
+        n = self.load_workers if workers is None else int(workers)
+        if n > 1 and len(file_names) > 1:
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=n) as ex:
+                it = iter(file_names)
+                pending = deque()
+
+                def submit_next():
+                    fn = next(it, None)
+                    if fn is not None:
+                        pending.append(ex.submit(
+                            get_data, fn, self.n_crop, self.dh_base,
+                            self.dw_base))
+
+                for _ in range(n + 2):
+                    submit_next()
+                while pending:
+                    data, episode_length = pending.popleft().result()
+                    self._write_episode(data, episode_length)
+                    submit_next()
+        else:
+            for file_name in file_names:
+                self._set_data_to_buffer(file_name)
         if self.pca_scales is not None:
             self._set_color_aug_params()
 
@@ -215,6 +252,9 @@ def build_buffer(cfg, seed: int = 0) -> ExperienceReplay:
         action_size=cfg.env.action_size,
         bit_depth=cfg.env.bit_depth,
         seed=seed,
+        # pipelined episode ingest (np.load + preprocess on a thread pool,
+        # ring writes in file order — bit-identical to serial, tested)
+        load_workers=cfg.train.get("load_workers", 4),
     )
 
 

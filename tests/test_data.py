@@ -199,3 +199,39 @@ def test_preprocess_pose_derives_channels(rng):
     np.testing.assert_array_equal(
         out2["d_pose_quat_v2_prev"][:-1], out2["d_pose_quat_v2"][1:]
     )
+
+
+def test_parallel_load_matches_serial(tiny_cfg, tiny_dataset_dir):
+    """workers>1 pipelines decode but writes in file order: the loaded
+    buffer must be bit-identical to a serial load."""
+    import copy
+
+    import numpy as np
+
+    from multimodal_rssm_tpu.data.buffer import build_buffer
+
+    cfg = copy.deepcopy(tiny_cfg)
+    a = build_buffer(cfg)
+    a.load_dataset(tiny_dataset_dir, workers=1)
+    b = build_buffer(cfg)
+    b.load_dataset(tiny_dataset_dir, workers=4)
+    assert (a.idx, a.steps, a.episodes, a.full) == (
+        b.idx, b.steps, b.episodes, b.full)
+    n = a.size if a.full else a.idx  # ring tail past idx is uninitialized
+    for name in a.observation_names:
+        np.testing.assert_array_equal(a.observations[name][:n],
+                                      b.observations[name][:n])
+    np.testing.assert_array_equal(a.actions[:n], b.actions[:n])
+    np.testing.assert_array_equal(a.rewards[:n], b.rewards[:n])
+    np.testing.assert_array_equal(a.nonterminals[:n], b.nonterminals[:n])
+    for name in a.lambd_eigen_values:
+        la, lb = a.lambd_eigen_values[name], b.lambd_eigen_values[name]
+        if la is None:
+            assert lb is None
+        else:
+            np.testing.assert_array_equal(la, lb)
+    # same sampling stream afterwards
+    oa = a.sample(2, 4)
+    ob = b.sample(2, 4)
+    for va, vb in zip(oa[0].values(), ob[0].values()):
+        np.testing.assert_array_equal(va, vb)
