@@ -254,6 +254,31 @@ def decoder_for_name(
 # -- full model -----------------------------------------------------------
 
 
+def _strip_prefix(sd: Mapping, prefix: str) -> Dict[str, Any]:
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def nest_flat_unimodal(model_dicts: Mapping) -> Dict[str, Any]:
+    """The unimodal reference saves the *algo module's* flat
+    ``state_dict()`` (``RSSM.get_state_dict`` = ``self.state_dict()``,
+    algos/MRSSM/RSSM/algo.py:48-49) — keys like
+    ``transition_model.fc_embed_state_action.weight`` — not the nested
+    per-module schema the multimodal algos save.  Restructure it into the
+    nested shape import_world_model walks."""
+    main = _strip_prefix(model_dicts, "transition_model.")
+    return {
+        "transition_model": {
+            "main": main,
+            # the unimodal TransitionModel registers its ObsEncoder as a
+            # submodule, so the nested view aliases the same tensors
+            "obs_encoder": _strip_prefix(main, "obs_encoder."),
+        },
+        "encoder": _strip_prefix(model_dicts, "encoder."),
+        "observation_model": _strip_prefix(model_dicts, "observation_model."),
+        "reward_model": _strip_prefix(model_dicts, "reward_model."),
+    }
+
+
 def import_world_model(model_dicts: Mapping, model) -> Dict[str, Any]:
     """Reference full checkpoint -> ``{"params": ..., "batch_stats": ...}``
     for models/world_model.WorldModel.
@@ -262,6 +287,10 @@ def import_world_model(model_dicts: Mapping, model) -> Dict[str, Any]:
     ``models_{itr}.pth``; ``model`` is the (un-initialised) WorldModel whose
     static config determines the expected tree.
     """
+    if "transition_model" not in model_dicts:
+        # flat unimodal algo-level schema (see nest_flat_unimodal)
+        model_dicts = nest_flat_unimodal(model_dicts)
+
     state_size = model.state_size
     belief_size = model.belief_size
     shapes = model.observation_shapes
