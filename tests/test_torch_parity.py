@@ -83,21 +83,23 @@ def _state_dicts(transition, encoder, observation_model, reward):
 
 
 def _jax_model(normalization="BatchNorm", fusion_method="PoE",
-               core_activation=None):
+               core_activation=None, multimodal=True, names=NAMES):
     # core_activation=None -> dense ('elu'), matching the torch modules
     # built by _torch_models with an explicit activation; the oracle tests
-    # pass "relu" because the reference ALGO classes leave the transition
-    # ctor default (quirk #11, see WorldModel.core_activation).
+    # pass "relu" because the reference MULTIMODAL algo classes leave the
+    # transition ctor default (quirk #11, see WorldModel.core_activation) —
+    # the unimodal RSSM threads dense through (RSSM/algo.py:18-19), so the
+    # unimodal oracle test passes None.
     return WorldModel(
-        observation_names_enc=NAMES,
-        observation_names_rec=NAMES,
+        observation_names_enc=tuple(names),
+        observation_names_rec=tuple(names),
         observation_shapes=SHAPES,
         embedding_size=EMB,
         activation_function=ACT,
         belief_size=BELIEF, state_size=STATE, hidden_size=HIDDEN,
         action_size=ACTION_SIZE,
         normalization=normalization,
-        multimodal=True,
+        multimodal=multimodal,
         fusion_method=fusion_method,
         expert_dist="q(st|ht,ot)",
         core_activation=core_activation,
@@ -271,7 +273,7 @@ def _stub_wandb():
 
 
 def _oracle_cfg(fusion_method="PoE", log_prob=False, kl_alpha=0.5,
-                overshooting_reward_scale=1.0):
+                overshooting_reward_scale=1.0, multimodal=True, names=NAMES):
     """Tiny config consumed by BOTH the reference algo classes (attribute
     access, e.g. cfg.rssm.belief_size) and our make_loss_fn."""
     from multimodal_rssm_tpu.core.config import ConfigDict
@@ -283,12 +285,12 @@ def _oracle_cfg(fusion_method="PoE", log_prob=False, kl_alpha=0.5,
         "train": {"batch_size": B, "chunk_size": T, "use_amp": False},
         "rssm": {
             "belief_size": BELIEF, "state_size": STATE, "hidden_size": HIDDEN,
-            "observation_names_enc": list(NAMES),
-            "observation_names_rec": list(NAMES),
+            "observation_names_enc": list(names),
+            "observation_names_rec": list(names),
             "embedding_size": dict(EMB),
             "activation_function": dict(ACT),
             "normalization": "BatchNorm",
-            "multimodal": True,
+            "multimodal": multimodal,
             "multimodal_params": {"fusion_method": fusion_method,
                                    "expert_dist": "q(st|ht,ot)"},
             "min_std_dev": 0.1,
@@ -311,7 +313,9 @@ def _oracle_cfg(fusion_method="PoE", log_prob=False, kl_alpha=0.5,
 
 def _build_reference_algo(cfg):
     _stub_wandb()
-    if cfg.rssm.multimodal_params.fusion_method == "MoPoE":
+    if not cfg.rssm.multimodal:
+        from algos.MRSSM.RSSM.algo import RSSM as cls
+    elif cfg.rssm.multimodal_params.fusion_method == "MoPoE":
         from algos.MRSSM.MRSSM_MoPoE.algo import MRSSM_MoPoE as cls
     else:
         from algos.MRSSM.MRSSM_PoE.algo import MRSSM_PoE as cls
@@ -358,14 +362,19 @@ def _reference_loss_terms(ref, obs_np, actions, rewards, nonterm, monkeypatch):
 def _our_loss_terms(cfg, ref, obs_np, actions, rewards, nonterm):
     from multimodal_rssm_tpu.train.trainer import make_loss_fn
 
+    multimodal = bool(cfg.rssm.multimodal)
     model = _jax_model(
-        fusion_method=cfg.rssm.multimodal_params.fusion_method,
-        core_activation="relu")  # reference quirk #11
+        fusion_method=(cfg.rssm.multimodal_params.fusion_method
+                       if multimodal else "PoE"),
+        # quirk #11 applies to the multimodal algo classes only
+        core_activation="relu" if multimodal else None,
+        multimodal=multimodal,
+        names=tuple(cfg.rssm.observation_names_enc))
     variables = torch_import.import_world_model(ref.get_state_dict(), model)
     loss_fn = make_loss_fn(model, cfg)
     obs_hwc = {
-        "image_horizon": jnp.asarray(obs_np["image_horizon"].transpose(0, 1, 3, 4, 2)),
-        "sound": jnp.asarray(obs_np["sound"]),
+        k: jnp.asarray(v.transpose(0, 1, 3, 4, 2) if v.ndim == 5 else v)
+        for k, v in obs_np.items()
     }
     batch = (obs_hwc, jnp.asarray(actions), jnp.asarray(rewards),
              jnp.asarray(nonterm))
@@ -377,9 +386,12 @@ def _our_loss_terms(cfg, ref, obs_np, actions, rewards, nonterm):
 
 
 def _assert_terms_match(loss_info, metrics, total_ref, total_ours):
-    for key in ("observation_image_horizon_loss", "observation_sound_loss",
-                "observations_loss_sum", "reward_loss", "kl_loss",
-                "kl_loss_sum"):
+    keys = [k for k in loss_info
+            if k.startswith("observation_") or k in
+            ("observations_loss_sum", "reward_loss", "kl_loss", "kl_loss_sum")]
+    assert any(k.startswith("observation_") and k != "observations_loss_sum"
+               for k in keys)
+    for key in keys:
         np.testing.assert_allclose(
             metrics[key], loss_info[key], rtol=5e-4, atol=5e-4, err_msg=key)
     np.testing.assert_allclose(total_ours, total_ref, rtol=5e-4, atol=5e-4)
@@ -411,6 +423,26 @@ def test_oracle_loss_assembly_logprob_unbalanced(rng, monkeypatch):
                       overshooting_reward_scale=0.0)
     ref = _build_reference_algo(cfg)
     obs_np, actions, rewards, nonterm = _oracle_batch(rng)
+    total_ref, loss_info = _reference_loss_terms(
+        ref, obs_np, actions, rewards, nonterm, monkeypatch)
+    total_ours, metrics = _our_loss_terms(
+        cfg, ref, obs_np, actions, rewards, nonterm)
+    _assert_terms_match(loss_info, metrics, total_ref, total_ours)
+
+
+def test_oracle_loss_assembly_unimodal(rng, monkeypatch):
+    """Unimodal loss assembly (RSSM._calc_observations_loss,
+    algos/MRSSM/RSSM/algo.py:82-96, + the shared RSSM_base._calc_loss)
+    against our make_loss_fn with multimodal=False — importing the REAL
+    flat algo-level state dict the unimodal reference saves
+    (RSSM.get_state_dict = self.state_dict(), RSSM/algo.py:48-49), which
+    exercises torch_import.nest_flat_unimodal end to end through the loss.
+    The unimodal core runs dense activation (elu) — quirk #11 is
+    multimodal-only (RSSM/algo.py:18-19 threads it through)."""
+    cfg = _oracle_cfg(multimodal=False, names=("image_horizon",))
+    ref = _build_reference_algo(cfg)
+    obs_np, actions, rewards, nonterm = _oracle_batch(rng)
+    obs_np = {"image_horizon": obs_np["image_horizon"]}
     total_ref, loss_info = _reference_loss_terms(
         ref, obs_np, actions, rewards, nonterm, monkeypatch)
     total_ours, metrics = _our_loss_terms(
