@@ -183,6 +183,12 @@ def main(argv=None):
             ss.append(s)
         ref_preds = ref.observation_model(h_t=torch.stack(hs),
                                           s_t=torch.stack(ss))
+    if not bool(cfg.rssm.multimodal):
+        # unimodal: the reference's observation_model is ONE decoder whose
+        # forward returns {"loc": ...} directly (observation_model.py:42,
+        # built for observation_names_rec[0], RSSM/algo.py:24-32) — key it
+        # by that modality to match the multimodal dict-of-dicts contract
+        ref_preds = {str(cfg.rssm.observation_names_rec[0]): ref_preds}
 
     # -- comparison ----------------------------------------------------------
     result = {

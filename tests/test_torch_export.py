@@ -372,6 +372,42 @@ def test_crosscheck_torch_cli(tiny_dataset_dir, tmp_path):
                result["imagination_cross_framework_mse"].values())
 
 
+def test_crosscheck_torch_cli_unimodal(tiny_dataset_dir, tmp_path):
+    """The crosscheck CLI on a unimodal run: the flat algo-level export
+    loads through the reference's base ``load_model`` (strict
+    ``load_state_dict``, base/algo.py:51-54) and the single-decoder
+    ``observation_model`` output (``{'loc': ...}``, not a per-modality
+    dict) is compared under its modality name."""
+    import json
+
+    from multimodal_rssm_tpu.cli import crosscheck_torch as cc
+    from multimodal_rssm_tpu.core.config import compose
+    from multimodal_rssm_tpu.train.loop import run
+
+    from tests.conftest import TINY_OVERRIDES
+
+    cfg_dir = os.path.join(os.path.dirname(__file__), "..", "configs")
+    cfg = compose(cfg_dir, overrides=["rssm=unimodal"] + TINY_OVERRIDES)
+    cfg.main.experiment_name = "crosscheck_cli_uni"
+    cfg.train.train_data_path = tiny_dataset_dir
+    cfg.train.validation_data_path = tiny_dataset_dir
+    cfg.train.train_iteration = 2
+    cfg.train.checkpoint_interval = 2
+    cfg.train.validation_interval = 2
+    _, results_dir = run(cfg, cwd=str(tmp_path))
+
+    rc = cc.main(["--run-dir", results_dir, "--itr", "2",
+                  "--t-start", "5", "--horizon", "8", "--cwd", str(tmp_path)])
+    assert rc == 0
+    with open(os.path.join(results_dir, "analysis",
+                           "crosscheck_torch.json")) as f:
+        result = json.load(f)
+    assert result["latent_max_abs_diff"]["posterior_means"] < 5e-3
+    assert set(result["imagination_cross_framework_mse"]) == {"image_horizon"}
+    assert all(v < 1e-4 for v in
+               result["imagination_cross_framework_mse"].values())
+
+
 def test_export_torch_cli_roundtrip(tiny_dataset_dir, tmp_path, monkeypatch):
     """Full chain: train CLI path -> mrssm-export-torch -> .pth ->
     re-import == the native msgpack checkpoint, tensor for tensor."""
