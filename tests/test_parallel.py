@@ -159,6 +159,39 @@ def test_model_axis_sharding_matches_replicated(dp_setup):
                                    rtol=2e-2, atol=5e-4)
 
 
+def test_grad_accum_step_dp_sharded_matches_single(dp_setup, tiny_buffer):
+    """``train.grad_accum`` under a data-sharded batch (the combination a
+    pod uses for batches beyond one chip's compile/HBM limit, DESIGN D15):
+    the microbatch ``dynamic_slice`` runs on operands sharded over the
+    ``data`` axis, so this pins that the scan-of-microbatches program
+    compiles under GSPMD and reproduces the replicated-batch result."""
+    cfg, model, _, state, raw, draws, key = dp_setup
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.train.grad_accum = 2
+    optimizer = tr.build_optimizer(cfg2)
+    spec = tr.build_aug_spec(tiny_buffer)
+    step2, _ = tr.make_train_step(model, cfg2, optimizer, spec)
+
+    state_a, metrics_a = step2(
+        jax.tree_util.tree_map(jnp.copy, state), raw, draws, key
+    )
+    # microbatch = 8/2 = 4 rows: shard over a 4-device data axis so each
+    # microbatch slice still divides evenly across shards
+    mesh = mesh_lib.create_mesh(n_data=4, n_model=2)
+    sharded_batch = mesh_lib.shard_batch(raw, mesh, batch_dim=1)
+    state_b, metrics_b = step2(
+        jax.tree_util.tree_map(jnp.copy, state), sharded_batch, draws, key
+    )
+
+    np.testing.assert_allclose(
+        float(metrics_a["loss"]), float(metrics_b["loss"]), rtol=1e-5
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_hybrid_multislice_step_matches_single(dp_setup, tiny_buffer):
     """Multi-slice DP (parallel/mesh.create_hybrid_mesh): on a (2 slice x
     2 data x 2 model) hybrid mesh — batch sharded over ('slice', 'data'),
