@@ -19,7 +19,8 @@ A ground-up re-design of the capabilities of the PyTorch reference
 
 Package layout:
   core/      config system (hydra-compatible YAML groups), PRNG discipline
-  ops/       pure math: Gaussians, expert fusion, image normalisation, GLU
+  ops/       pure math: Gaussians, categorical latents, expert fusion,
+             image normalisation, GLU
   models/    flax linen modules: encoders, decoders, heads, policy/value
   rssm/      the scan-based RSSM core (prior/posterior rollouts)
   losses/    ELBO: reconstruction, KL balancing, free nats, overshooting

@@ -250,6 +250,10 @@ def export_world_model(model, variables: Mapping) -> Dict[str, Any]:
     reference checkpoint through import then export reproduces it
     bit-for-bit (tests/test_torch_export.py).
     """
+    if getattr(model, "latent_dist", "gaussian") != "gaussian":
+        raise ValueError(
+            "the reference state-dict schema is Gaussian-latent only; "
+            f"cannot export a latent_dist={model.latent_dist!r} model")
     params = variables["params"]
     stats_root = variables.get("batch_stats", {}) or {}
     shapes = model.observation_shapes

@@ -287,6 +287,11 @@ def import_world_model(model_dicts: Mapping, model) -> Dict[str, Any]:
     ``models_{itr}.pth``; ``model`` is the (un-initialised) WorldModel whose
     static config determines the expected tree.
     """
+    if getattr(model, "latent_dist", "gaussian") != "gaussian":
+        raise ValueError(
+            "reference checkpoints are Gaussian-latent only "
+            "(utils/models/encoder.py:126-155); cannot import into a "
+            f"latent_dist={model.latent_dist!r} model")
     if "transition_model" not in model_dicts:
         # flat unimodal algo-level schema (see nest_flat_unimodal)
         model_dicts = nest_flat_unimodal(model_dicts)

@@ -24,7 +24,7 @@ from typing import Dict, Mapping, Optional
 import jax
 import jax.numpy as jnp
 
-from multimodal_rssm_tpu.ops import fusion, gaussian
+from multimodal_rssm_tpu.ops import categorical, fusion, gaussian
 
 
 def observation_losses(
@@ -110,3 +110,56 @@ def global_kl(post_mean: jnp.ndarray, post_std: jnp.ndarray) -> jnp.ndarray:
     """KL against N(0, I), summed over state dim, mean over (T, B)
     (ref :186-188)."""
     return gaussian.kl_standard_normal(post_mean, post_std).sum(-1).mean()
+
+
+# -- categorical-latent (DreamerV2-family) counterparts --------------------
+#
+# Same reduction/free-nats/balancing structure with per-variable categorical
+# KLs (ops/categorical.py) in place of the per-dimension Gaussian terms.
+# ``*_logits`` arrays are normalized log-probs [T, B, V, K] (experts
+# [T, E, B, V, K]).  No reference counterpart — the reference is
+# Gaussian-only; the loss SHAPE (sum over latent axis, max with free nats,
+# mean over (T, B)) deliberately mirrors the Gaussian path so configs mean
+# the same thing under either latent_dist.
+
+
+def kl_balanced_categorical(
+    post_logits: jnp.ndarray,
+    prior_logits: jnp.ndarray,
+    alpha: Optional[float],
+    free_nats: float,
+) -> jnp.ndarray:
+    """Balanced categorical KL with free nats (DreamerV2 eq. 4 uses the
+    same two-term stop-gradient balancing the reference applies to its
+    Gaussians, base/algo.py:83-91)."""
+    sg = jax.lax.stop_gradient
+    if alpha is None:
+        div = categorical.kl_categorical(post_logits, prior_logits).sum(-1)
+    else:
+        kl1 = categorical.kl_categorical(sg(post_logits), prior_logits).sum(-1)
+        kl2 = categorical.kl_categorical(post_logits, sg(prior_logits)).sum(-1)
+        div = alpha * kl1 + (1.0 - alpha) * kl2
+    return jnp.maximum(div, free_nats).mean()
+
+
+def mopoe_kl_categorical(
+    expert_logits: jnp.ndarray,
+    prior_logits: jnp.ndarray,
+    free_nats: float,
+) -> jnp.ndarray:
+    """Mean over subset-product posteriors of the (unbalanced) free-nats
+    categorical KL against the prior — the discrete mirror of ``mopoe_kl``.
+    """
+    stacked = jnp.moveaxis(expert_logits, 1, 0)  # [E, T, B, V, K]
+    losses = []
+    for subset_logits in categorical.subset_poe_logits(stacked):
+        div = categorical.kl_categorical(subset_logits, prior_logits).sum(-1)
+        losses.append(jnp.maximum(div, free_nats).mean())
+    return jnp.stack(losses).mean()
+
+
+def global_kl_categorical(post_logits: jnp.ndarray) -> jnp.ndarray:
+    """KL against the per-variable uniform distribution (the max-entropy
+    global prior — the categorical analogue of N(0, I)), summed over
+    variables, mean over (T, B)."""
+    return categorical.kl_uniform(post_logits).sum(-1).mean()

@@ -24,7 +24,7 @@ from typing import Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from multimodal_rssm_tpu.ops import fusion, gaussian
+from multimodal_rssm_tpu.ops import categorical, fusion, gaussian
 
 
 def _gather_segments(arr: jnp.ndarray, seg_idx: jnp.ndarray) -> jnp.ndarray:
@@ -46,6 +46,7 @@ def overshooting_losses(
     key: jax.Array,
     fusion_method: str = "PoE",
     det: bool = False,
+    latent_dist: str = "gaussian",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (kl_overshoot, reward_overshoot) — both BEFORE their beta
     factors except the internal (1/d)·scale·(L-1) reward compensation, to
@@ -58,7 +59,11 @@ def overshooting_losses(
     L, B = actions.shape[:2]
     D = int(distance)
     N = L - 2  # overshoot starts t = 1 .. L-2
-    S = states["prior_states"].shape[-1]
+    is_cat = latent_dist == "categorical"
+    if is_cat:
+        noise_tail = tuple(states["prior_logits"].shape[-2:])  # (V, K)
+    else:
+        noise_tail = (states["prior_states"].shape[-1],)  # (S,)
 
     ts = jnp.arange(1, L - 1)  # [N]
     j = jnp.arange(D)
@@ -72,8 +77,6 @@ def overshooting_losses(
     reward_seg = _gather_segments(rewards, cidx) * valid[:, :, None]
 
     sg = jax.lax.stop_gradient
-    post_mean = sg(states["posterior_means"])
-    post_std = sg(states["posterior_std_devs"])
 
     def flat(x):  # [N, D, B, ...] -> [D, N*B, ...]
         x = jnp.swapaxes(x, 0, 1)
@@ -87,29 +90,54 @@ def overshooting_losses(
     init_s = states["prior_states"][ts - 1].reshape(N * B, -1)
 
     if det:
-        eps = jnp.zeros((D, N * B, S), jnp.float32)
+        eps = jnp.zeros((D, N * B, *noise_tail), jnp.float32)
+    elif is_cat:
+        eps = categorical.gumbel_noise(key, (D, N * B, *noise_tail))
     else:
-        eps = jax.random.normal(key, (D, N * B, S), jnp.float32)
+        eps = jax.random.normal(key, (D, N * B, *noise_tail), jnp.float32)
     roll = prior_rollout_fn(init_h, init_s, act_f, nonterm_f, eps)
-    prior_mean = roll["prior_means"]  # [D, N*B, S]
-    prior_std = roll["prior_std_devs"]
 
-    def masked_kl(target_mean_seq, target_std_seq):
-        """Free-nats KL of padded targets vs rolled priors (ref :140-143)."""
-        tm = flat(_gather_segments(target_mean_seq, cidx) * vmask)
-        tstd = _gather_segments(target_std_seq, cidx)
-        tstd = flat(jnp.where(vmask > 0, tstd, 1.0))  # pad stds with 1 (ref :135)
-        div = (gaussian.kl_normal(tm, tstd, prior_mean, prior_std) * mask_f).sum(-1)
-        return jnp.maximum(div, free_nats).mean()
+    if is_cat:
+        prior_logits = roll["prior_logits"]  # [D, N*B, V, K]
 
-    if fusion_method == "MoPoE":
-        # Subset-PoE targets (ref MoPoE algo :85, :101-104).
-        means = jnp.moveaxis(sg(states["expert_means_stacked"]), 1, 0)  # [K, T, B, S]
-        stds = jnp.moveaxis(sg(states["expert_std_devs_stacked"]), 1, 0)
-        subset_means, subset_stds = fusion.subset_poe_states(means, stds)
-        kl = jnp.stack([masked_kl(m, sd) for m, sd in zip(subset_means, subset_stds)]).mean()
+        def masked_kl_cat(target_logits_seq):
+            """Free-nats categorical KL; invalid rows mask to zero then
+            clamp to free_nats — the same padding semantics as the Gaussian
+            path (ref :140-143)."""
+            tl = flat(_gather_segments(target_logits_seq, cidx))
+            div = (categorical.kl_categorical(tl, prior_logits)
+                   * mask_f).sum(-1)
+            return jnp.maximum(div, free_nats).mean()
+
+        if fusion_method == "MoPoE":
+            stacked = jnp.moveaxis(sg(states["expert_logits_stacked"]), 1, 0)
+            kl = jnp.stack([
+                masked_kl_cat(l) for l in categorical.subset_poe_logits(stacked)
+            ]).mean()
+        else:
+            kl = masked_kl_cat(sg(states["posterior_logits"]))
     else:
-        kl = masked_kl(post_mean, post_std)
+        prior_mean = roll["prior_means"]  # [D, N*B, S]
+        prior_std = roll["prior_std_devs"]
+        post_mean = sg(states["posterior_means"])
+        post_std = sg(states["posterior_std_devs"])
+
+        def masked_kl(target_mean_seq, target_std_seq):
+            """Free-nats KL of padded targets vs rolled priors (ref :140-143)."""
+            tm = flat(_gather_segments(target_mean_seq, cidx) * vmask)
+            tstd = _gather_segments(target_std_seq, cidx)
+            tstd = flat(jnp.where(vmask > 0, tstd, 1.0))  # pad stds with 1 (ref :135)
+            div = (gaussian.kl_normal(tm, tstd, prior_mean, prior_std) * mask_f).sum(-1)
+            return jnp.maximum(div, free_nats).mean()
+
+        if fusion_method == "MoPoE":
+            # Subset-PoE targets (ref MoPoE algo :85, :101-104).
+            means = jnp.moveaxis(sg(states["expert_means_stacked"]), 1, 0)  # [K, T, B, S]
+            stds = jnp.moveaxis(sg(states["expert_std_devs_stacked"]), 1, 0)
+            subset_means, subset_stds = fusion.subset_poe_states(means, stds)
+            kl = jnp.stack([masked_kl(m, sd) for m, sd in zip(subset_means, subset_stds)]).mean()
+        else:
+            kl = masked_kl(post_mean, post_std)
 
     reward_os = jnp.zeros(())
     if overshooting_reward_scale != 0 and reward_fn is not None:

@@ -71,6 +71,16 @@ class WorldModel(nn.Module):
     # dense through (RSSM/algo.py:18-19).  from_config replicates this.
     core_activation: Optional[str] = None
     min_std_dev: float = 0.1
+    # Latent distribution (rssm.latent_dist): "gaussian" (reference
+    # semantics) or "categorical" — DreamerV2-style V x K discrete latents
+    # (ops/categorical.py; no reference counterpart).  For categorical,
+    # state_size MUST equal latent_variables * latent_classes (from_config
+    # derives it), so decoders / reward / policy consume the flattened
+    # one-hot state through the exact same [h, s] interface.
+    latent_dist: str = "gaussian"
+    latent_variables: int = 0
+    latent_classes: int = 0
+    unimix: float = 0.0
     scan_unroll: int = 1
     dtype: Dtype = jnp.float32
     # True: full remat everywhere; False: nowhere; "decoders": decoders
@@ -146,6 +156,10 @@ class WorldModel(nn.Module):
             activation_function=(self.core_activation
                                  or self.activation_function["dense"]),
             min_std_dev=self.min_std_dev,
+            latent_dist=self.latent_dist,
+            latent_variables=self.latent_variables,
+            latent_classes=self.latent_classes,
+            unimix=self.unimix,
             scan_unroll=self.scan_unroll,
             dtype=self.dtype,
         )
@@ -258,27 +272,51 @@ class WorldModel(nn.Module):
         T, B = actions.shape[:2]
         obs_emb = self.encode(observations, train=train)
         if det or key is None:
-            eps_prior = jnp.zeros((T, B, self.state_size), jnp.float32)
+            eps_prior = jnp.zeros(self.noise_shape(T, B), jnp.float32)
             eps_post = eps_prior
         else:
             k1, k2 = jax.random.split(key)
-            eps_prior = jax.random.normal(k1, (T, B, self.state_size), jnp.float32)
-            eps_post = jax.random.normal(k2, (T, B, self.state_size), jnp.float32)
+            eps_prior = self.draw_state_noise(k1, T, B)
+            eps_post = self.draw_state_noise(k2, T, B)
         states = self.core(
             init_belief, init_state, actions, nonterminals, obs_emb,
             eps_prior, eps_post,
         )
         if self.multimodal:
             states = dict(states)
-            states["expert_means_stacked"] = states["expert_means"]
-            states["expert_std_devs_stacked"] = states["expert_std_devs"]
-            states["expert_means"] = expert_dict(
-                states["expert_means_stacked"], tuple(self.observation_names_enc)
-            )
-            states["expert_std_devs"] = expert_dict(
-                states["expert_std_devs_stacked"], tuple(self.observation_names_enc)
-            )
+            if self.latent_dist == "categorical":
+                states["expert_logits_stacked"] = states["expert_logits"]
+                states["expert_logits"] = expert_dict(
+                    states["expert_logits_stacked"],
+                    tuple(self.observation_names_enc),
+                )
+            else:
+                states["expert_means_stacked"] = states["expert_means"]
+                states["expert_std_devs_stacked"] = states["expert_std_devs"]
+                states["expert_means"] = expert_dict(
+                    states["expert_means_stacked"], tuple(self.observation_names_enc)
+                )
+                states["expert_std_devs"] = expert_dict(
+                    states["expert_std_devs_stacked"], tuple(self.observation_names_enc)
+                )
         return states
+
+    # -- state-noise plumbing (branching on the latent distribution) ------
+    def noise_shape(self, T: int, B: int):
+        """Shape of the pre-drawn reparameterisation noise the scan
+        consumes per rollout: standard-normal [T, B, S] for Gaussian,
+        Gumbel [T, B, V, K] for categorical (zeros => det/mode in both)."""
+        if self.latent_dist == "categorical":
+            return (T, B, self.latent_variables, self.latent_classes)
+        return (T, B, self.state_size)
+
+    def draw_state_noise(self, key: jax.Array, T: int, B: int) -> jnp.ndarray:
+        from multimodal_rssm_tpu.ops import categorical as cat_ops
+
+        shape = self.noise_shape(T, B)
+        if self.latent_dist == "categorical":
+            return cat_ops.gumbel_noise(key, shape)
+        return jax.random.normal(key, shape, jnp.float32)
 
     def rollout_prior(
         self,
@@ -293,9 +331,9 @@ class WorldModel(nn.Module):
         transition model with obs=None)."""
         T, B = actions.shape[:2]
         if det or key is None:
-            eps = jnp.zeros((T, B, self.state_size), jnp.float32)
+            eps = jnp.zeros(self.noise_shape(T, B), jnp.float32)
         else:
-            eps = jax.random.normal(key, (T, B, self.state_size), jnp.float32)
+            eps = self.draw_state_noise(key, T, B)
         return self.core.prior_rollout(init_belief, init_state, actions, nonterminals, eps)
 
     # -- decoding ---------------------------------------------------------
@@ -362,6 +400,7 @@ class WorldModel(nn.Module):
             from multimodal_rssm_tpu.models import layers
 
             print(f"convt_impl: {layers.set_convt_impl(str(convt_impl))}")
+        latent_dist, latent_v, latent_k, unimix = resolve_latent(rssm)
         return WorldModel(
             observation_names_enc=tuple(rssm.observation_names_enc),
             observation_names_rec=tuple(rssm.observation_names_rec),
@@ -369,7 +408,8 @@ class WorldModel(nn.Module):
             embedding_size=dict(rssm.embedding_size),
             activation_function=dict(rssm.activation_function),
             belief_size=int(rssm.belief_size),
-            state_size=int(rssm.state_size),
+            state_size=(latent_v * latent_k if latent_dist == "categorical"
+                        else int(rssm.state_size)),
             hidden_size=int(rssm.hidden_size),
             action_size=int(cfg.env.action_size),
             normalization=rssm.normalization,
@@ -381,10 +421,46 @@ class WorldModel(nn.Module):
             # rssm.core_activation overrides for users who want dense.
             core_activation=(rssm.get("core_activation")
                              or ("relu" if multimodal else None)),
+            latent_dist=latent_dist,
+            latent_variables=latent_v,
+            latent_classes=latent_k,
+            unimix=unimix,
             scan_unroll=int(rssm.get("scan_unroll", 1) or 1),
             dtype=dtype,
             remat=_check_remat(rssm.get("remat", True)),
         )
+
+
+def resolve_latent(rssm) -> Tuple[str, int, int, float]:
+    """Parse ``rssm.latent_dist`` (+ ``rssm.categorical_params``) ->
+    (latent_dist, variables, classes, unimix).  Gaussian (the reference
+    semantics and default) returns zeros for the categorical fields."""
+    latent_dist = str(rssm.get("latent_dist", "gaussian") or "gaussian")
+    if latent_dist == "gaussian":
+        return latent_dist, 0, 0, 0.0
+    if latent_dist != "categorical":
+        raise ValueError(
+            f"rssm.latent_dist={latent_dist!r} not in ('gaussian', 'categorical')")
+    cp = rssm.get("categorical_params", None) or {}
+    variables = int(cp.get("variables", 32))
+    classes = int(cp.get("classes", 32))
+    unimix = float(cp.get("unimix", 0.01))
+    if variables < 1 or classes < 2:
+        raise ValueError(
+            f"categorical_params needs variables >= 1 and classes >= 2, got "
+            f"{variables} x {classes}")
+    if not (0.0 <= unimix < 1.0):
+        raise ValueError(f"categorical_params.unimix={unimix} not in [0, 1)")
+    return latent_dist, variables, classes, unimix
+
+
+def effective_state_size(cfg) -> int:
+    """The flattened latent-state width consumers see ([h, s] concat inputs,
+    zero-init carries): ``rssm.state_size`` for Gaussian, V*K for
+    categorical.  Use this instead of reading cfg.rssm.state_size directly.
+    """
+    latent_dist, v, k, _ = resolve_latent(cfg.rssm)
+    return v * k if latent_dist == "categorical" else int(cfg.rssm.state_size)
 
 
 _REMAT_VALUES = (True, False, "decoders", "conv", "decoders_conv")

@@ -34,6 +34,7 @@ from flax import linen as nn
 
 from multimodal_rssm_tpu.models.heads import scale_from_raw
 from multimodal_rssm_tpu.models.layers import Dense, GRUCell, act_fn
+from multimodal_rssm_tpu.ops import categorical as cat
 from multimodal_rssm_tpu.ops import fusion
 
 Dtype = Any
@@ -63,6 +64,16 @@ class RSSMCell(nn.Module):
     expert_dist: str = "q(st|ht,ot)"
     activation_function: str = "elu"
     min_std_dev: float = 0.1
+    # latent distribution: "gaussian" (reference) or "categorical"
+    # (DreamerV2-style V x K one-hot variables, ops/categorical.py).  For
+    # categorical, state_size == latent_variables * latent_classes (the
+    # flattened one-hot size the GRU/decoders consume) and the eps_* noise
+    # inputs are Gumbel-shaped [B, V, K] (zeros => mode, same det contract
+    # as the Gaussian zero-eps rollout).
+    latent_dist: str = "gaussian"
+    latent_variables: int = 0
+    latent_classes: int = 0
+    unimix: float = 0.0
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -85,6 +96,9 @@ class RSSMCell(nn.Module):
         # Carry and emit the belief in f32: the GRU state accumulates over
         # 49 steps, and all heads/losses re-cast to the compute dtype anyway.
         h_next = h_next.astype(jnp.float32)
+
+        if self.latent_dist == "categorical":
+            return self._categorical_step(h_next, eps_prior, eps_post, obs)
 
         # Prior p(s_t | h_t) (ref :80-85, :240-245).
         prior = self._head("ssm", h_next)
@@ -143,6 +157,79 @@ class RSSMCell(nn.Module):
         }
         return (h_next, post_state.astype(jnp.float32)), out
 
+    # -- categorical latent (DreamerV2-family; no reference counterpart) --
+    def _categorical_step(self, h_next, eps_prior, eps_post, obs):
+        """The V x K discrete-latent step.  Mirrors the Gaussian branch's
+        output contract with ``*_logits`` [B, V, K] in place of std devs and
+        ``*_means`` = flattened class probabilities (E[one-hot] — so every
+        det-mode consumer of ``posterior_means`` keeps working unchanged)."""
+        prior_logits = self._cat_head("ssm", h_next)
+        prior_state = cat.flatten_state(cat.st_sample(prior_logits, eps_prior))
+
+        if obs is None:
+            out = {
+                "beliefs": h_next,
+                "prior_states": prior_state,
+                "prior_means": cat.flatten_state(jnp.exp(prior_logits)),
+                "prior_logits": prior_logits,
+            }
+            return (h_next, prior_state.astype(jnp.float32)), out
+
+        if not self.multimodal:
+            post_logits = self._cat_obs_head("obs", h_next, obs)
+        else:
+            logits = [None] * (len(self.observation_names_enc) + 1)
+            logits[0] = self._cat_head(PRIOR_EXPERT, h_next)
+            for i, name in enumerate(self.observation_names_enc, start=1):
+                logits[i] = self._cat_obs_head(f"obs_{name}", h_next, obs[name])
+            expert_logits = jnp.stack(logits, axis=0)  # [K_experts, B, V, K]
+            post_logits = cat.fuse_logits(self.fusion_method, expert_logits)
+
+        post_state = cat.flatten_state(cat.st_sample(post_logits, eps_post))
+        out = {
+            "beliefs": h_next,
+            "prior_states": prior_state,
+            "prior_means": cat.flatten_state(jnp.exp(prior_logits)),
+            "prior_logits": prior_logits,
+            "posterior_states": post_state,
+            "posterior_means": cat.flatten_state(jnp.exp(post_logits)),
+            "posterior_logits": post_logits,
+        }
+        if self.multimodal:
+            out["expert_logits"] = expert_logits
+        return (h_next, post_state.astype(jnp.float32)), out
+
+    def _cat_head(self, name: str, h: jnp.ndarray) -> jnp.ndarray:
+        """2-layer head emitting normalized [B, V, K] log-probs (same layer
+        naming scheme as the Gaussian ``_head`` so module paths line up)."""
+        act = act_fn(self.activation_function)
+        hidden = act(Dense(self.hidden_size, dtype=self.dtype, name=f"{name}_fc1")(
+            h.astype(self.dtype)))
+        raw = Dense(
+            self.latent_variables * self.latent_classes,
+            dtype=self.dtype, name=f"{name}_fc2",
+        )(hidden)
+        raw = cat.unflatten_state(
+            raw.astype(jnp.float32), self.latent_variables, self.latent_classes
+        )
+        return cat.normalize_logits(raw, self.unimix)
+
+    def _cat_obs_head(self, name: str, h: jnp.ndarray, obs_proj: jnp.ndarray):
+        act = act_fn(self.activation_function)
+        hidden = act(
+            Dense(self.hidden_size, dtype=self.dtype, name=f"{name}_fc1_h")(
+                h.astype(self.dtype))
+            + obs_proj.astype(self.dtype)
+        )
+        raw = Dense(
+            self.latent_variables * self.latent_classes,
+            dtype=self.dtype, name=f"{name}_fc2",
+        )(hidden)
+        raw = cat.unflatten_state(
+            raw.astype(jnp.float32), self.latent_variables, self.latent_classes
+        )
+        return cat.normalize_logits(raw, self.unimix)
+
     # -- heads ------------------------------------------------------------
     def _head(self, name: str, h: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         """StochasticStateModel-style 2-layer head (ref encoder.py:126-155)."""
@@ -187,6 +274,10 @@ class RSSMCore(nn.Module):
     expert_dist: str = "q(st|ht,ot)"
     activation_function: str = "elu"
     min_std_dev: float = 0.1
+    latent_dist: str = "gaussian"
+    latent_variables: int = 0
+    latent_classes: int = 0
+    unimix: float = 0.0
     dtype: Dtype = jnp.float32
     # lax.scan unroll factor for the time loop (cfg.rssm.scan_unroll).
     # >1 replicates the cell body inside the compiled while-loop so XLA can
@@ -194,6 +285,12 @@ class RSSMCore(nn.Module):
     scan_unroll: int = 1
 
     def setup(self):
+        if self.latent_dist == "categorical" and self.expert_dist != "q(st|ht,ot)":
+            raise ValueError(
+                "latent_dist=categorical requires expert_dist='q(st|ht,ot)' "
+                "(the stochastic-encoder q(st|ot) path emits Gaussian "
+                "(loc, scale) experts)"
+            )
         scan = nn.scan(
             RSSMCell,
             variable_broadcast="params",
@@ -212,6 +309,10 @@ class RSSMCore(nn.Module):
             expert_dist=self.expert_dist,
             activation_function=self.activation_function,
             min_std_dev=self.min_std_dev,
+            latent_dist=self.latent_dist,
+            latent_variables=self.latent_variables,
+            latent_classes=self.latent_classes,
+            unimix=self.unimix,
             dtype=self.dtype,
         )
         # Action half of fc_embed_state_action (bias lives in fc_sa_s).

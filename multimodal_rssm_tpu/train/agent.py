@@ -21,7 +21,7 @@ import numpy as np
 
 from multimodal_rssm_tpu.eval.state_estimation import fixed_draws
 from multimodal_rssm_tpu.models.policy import ActorModel
-from multimodal_rssm_tpu.models.world_model import WorldModel
+from multimodal_rssm_tpu.models.world_model import WorldModel, effective_state_size
 from multimodal_rssm_tpu.train import trainer as tr
 
 
@@ -42,7 +42,7 @@ class LatentAgent:
         self.bit_depth = int(cfg.env.bit_depth)
         self.action_noise = float(cfg.train.action_noise or 0.0)
         self.belief_size = int(cfg.rssm.belief_size)
-        self.state_size = int(cfg.rssm.state_size)
+        self.state_size = effective_state_size(cfg)
         self.action_size = int(cfg.env.action_size)
         self._step = self._build_step()
         self.reset()

@@ -113,7 +113,8 @@ def init_behavior_state(cfg, actor: ActorModel, value: ValueModel,
                         actor_opt, value_opt, key) -> BehaviorState:
     B = 2  # init shapes are size-independent
     h = jnp.zeros((B, int(cfg.rssm.belief_size)), jnp.float32)
-    s = jnp.zeros((B, int(cfg.rssm.state_size)), jnp.float32)
+    from multimodal_rssm_tpu.models.world_model import effective_state_size
+    s = jnp.zeros((B, effective_state_size(cfg)), jnp.float32)
     k1, k2, k3 = jax.random.split(key, 3)
     actor_params = actor.init(k1, h, s, k2)["params"]
     value_params = value.init(k3, h[None], s[None])["params"]

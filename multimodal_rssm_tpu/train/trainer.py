@@ -438,12 +438,27 @@ def make_loss_fn(model: WorldModel, cfg):
         if not predict_reward:
             reward_l = jnp.zeros_like(reward_l)  # ref base/algo.py:200-201
 
+        categorical = model.latent_dist == "categorical"
         if model.multimodal and fusion_method == "MoPoE":
-            kl_loss = elbo.mopoe_kl(
-                states["expert_means_stacked"],
-                states["expert_std_devs_stacked"],
-                states["prior_means"],
-                states["prior_std_devs"],
+            if categorical:
+                kl_loss = elbo.mopoe_kl_categorical(
+                    states["expert_logits_stacked"],
+                    states["prior_logits"],
+                    free_nats,
+                )
+            else:
+                kl_loss = elbo.mopoe_kl(
+                    states["expert_means_stacked"],
+                    states["expert_std_devs_stacked"],
+                    states["prior_means"],
+                    states["prior_std_devs"],
+                    free_nats,
+                )
+        elif categorical:
+            kl_loss = elbo.kl_balanced_categorical(
+                states["posterior_logits"],
+                states["prior_logits"],
+                kl_alpha,
                 free_nats,
             )
         else:
@@ -458,9 +473,14 @@ def make_loss_fn(model: WorldModel, cfg):
         kl_loss_sum = kl_loss
 
         if global_kl_beta != 0:
-            kl_loss_sum = kl_loss_sum + global_kl_beta * elbo.global_kl(
-                states["posterior_means"], states["posterior_std_devs"]
-            )
+            if categorical:
+                kl_loss_sum = kl_loss_sum + global_kl_beta * (
+                    elbo.global_kl_categorical(states["posterior_logits"])
+                )
+            else:
+                kl_loss_sum = kl_loss_sum + global_kl_beta * elbo.global_kl(
+                    states["posterior_means"], states["posterior_std_devs"]
+                )
 
         if overshooting_kl_beta != 0 and overshooting_distance > 0:
             def prior_rollout_fn(init_h, init_s, acts, nonterms, eps):
@@ -490,6 +510,7 @@ def make_loss_fn(model: WorldModel, cfg):
                 key_os,
                 fusion_method=fusion_method if model.multimodal else "NN",
                 det=key_os is None,
+                latent_dist=model.latent_dist,
             )
             kl_loss_sum = kl_loss_sum + overshooting_kl_beta * kl_os
             if predict_reward:
