@@ -9,6 +9,10 @@ capability surface for future online RL:
 - ``ActorModel``     tanh squash + 100-sample mode-seeking det
   action                                                         (ref :103-138)
 - ``PieEmb`` / ``ActorModelEnc`` encoder-conditioned variants    (ref :140-240)
+
+Plus one post-reference addition: ``TwoHotValueModel``, the DreamerV3
+discrete-regression critic (symlog two-hot bins), selected by
+``behavior.value_head=twohot_symlog``.
 """
 
 from __future__ import annotations
@@ -50,6 +54,43 @@ class ValueModel(nn.Module):
     def get_log_prob(self, h, s, r):
         out = self(h, s)
         return gaussian.log_prob(out["loc"], out["scale"], r)
+
+
+class TwoHotValueModel(nn.Module):
+    """Discrete-regression critic (DreamerV3): V(h, s) as a categorical
+    over fixed symlog-spaced bins, trained by cross-entropy against the
+    two-hot encoding of symlog(target) — gradient scale is independent of
+    the return scale (ops/returns.py).  No reference counterpart; selected
+    by ``behavior.value_head=twohot_symlog``.
+
+    Same [T, B] folding and trunk depth as ``ValueModel`` so the two heads
+    are drop-in interchangeable; ``__call__`` returns the decoded value
+    under "loc" (plus "logits"), so every consumer of ``ValueModel``'s
+    output works unchanged.
+    """
+
+    hidden_size: int
+    num_bins: int = 255
+    activation_function: str = "relu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, s: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        from multimodal_rssm_tpu.ops import returns as rt
+
+        act = act_fn(self.activation_function)
+        T, B = h.shape[:2]
+        x = jnp.concatenate(
+            [h.reshape(T * B, -1), s.reshape(T * B, -1)], axis=-1
+        ).astype(self.dtype)
+        for i in (1, 2, 3):
+            x = act(Dense(self.hidden_size, dtype=self.dtype, name=f"fc{i}")(x))
+        logits = Dense(self.num_bins, dtype=self.dtype, name="fc4")(x)
+        logits = logits.astype(jnp.float32).reshape(T, B, self.num_bins)
+        bins = rt.bin_centers(self.num_bins)
+        value = rt.symexp(rt.twohot_decode(jax.nn.softmax(logits, -1), bins))
+        return {"loc": value, "logits": logits,
+                "scale": jnp.ones_like(value)}
 
 
 def _policy_dist(raw: jnp.ndarray, mean_scale: float, init_std: float,

@@ -28,6 +28,14 @@ Algorithm (Dreamer, Hafner et al. 2020 — "Dream to Control"):
 
 Everything is one donated jit step; the world-model variables enter as a
 constant argument so the same compiled step serves any checkpoint.
+
+DreamerV3 robustness options (ops/returns.py; off by default so the
+Dreamer-v1 semantics above stay the reference behaviour):
+``behavior.value_head=twohot_symlog`` swaps the Gaussian critic for
+discrete regression over symlog two-hot bins, and
+``behavior.return_norm=true`` normalizes the actor objective by an EMA of
+the 5-95th percentile imagined-return range (the ``return_scale`` carried
+in ``BehaviorState``).
 """
 
 from __future__ import annotations
@@ -40,9 +48,11 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from multimodal_rssm_tpu.models.policy import ActorModel, ValueModel
+from multimodal_rssm_tpu.models.policy import (ActorModel, TwoHotValueModel,
+                                               ValueModel)
 from multimodal_rssm_tpu.models.world_model import WorldModel
 from multimodal_rssm_tpu.ops import gaussian
+from multimodal_rssm_tpu.ops import returns as rt
 from multimodal_rssm_tpu.train import trainer as tr
 
 
@@ -52,6 +62,10 @@ class BehaviorState(struct.PyTreeNode):
     value_params: Any
     actor_opt_state: Any
     value_opt_state: Any
+    # EMA of the imagined-return percentile range (DreamerV3 normalizer
+    # statistic S, ops/returns.py); carried even when return_norm is off so
+    # the checkpoint schema does not depend on the flag.
+    return_scale: jnp.ndarray = struct.field(default_factory=lambda: jnp.ones(()))
 
 
 BEHAVIOR_DEFAULTS = {
@@ -72,6 +86,17 @@ BEHAVIOR_DEFAULTS = {
     "train_iteration": 2000,
     "checkpoint_interval": 500,
     "log_interval": 10,
+    # -- DreamerV3 robustness options (ops/returns.py) --
+    # value head: "gaussian" (the reference's scale-1 NLL critic) or
+    # "twohot_symlog" (discrete regression over symlog bins — gradient
+    # scale independent of return scale)
+    "value_head": "gaussian",
+    "twohot_bins": 255,
+    # actor-advantage normalization by an EMA of the 5-95th percentile
+    # imagined-return range, clipped below 1 (DreamerV3 eq. 11)
+    "return_norm": False,
+    "return_norm_decay": 0.99,
+    "return_norm_percentile": 5.0,
 }
 
 
@@ -84,18 +109,31 @@ def behavior_cfg(cfg):
     return cfg
 
 
-def build_policy_models(cfg) -> Tuple[ActorModel, ValueModel]:
+def build_policy_models(cfg) -> Tuple[ActorModel, Any]:
     """The reference's policy heads at the reference's sizes (policy.py:
-    11-43, 103-138): hidden = cfg.rssm.hidden_size, action size from env."""
+    11-43, 103-138): hidden = cfg.rssm.hidden_size, action size from env.
+    ``behavior.value_head`` selects the critic: the reference's Gaussian
+    head or the DreamerV3 two-hot symlog head (same output contract)."""
     actor = ActorModel(
         hidden_size=int(cfg.rssm.hidden_size),
         action_size=int(cfg.env.action_size),
         activation_function=cfg.rssm.activation_function["dense"],
     )
-    value = ValueModel(
-        hidden_size=int(cfg.rssm.hidden_size),
-        activation_function=cfg.rssm.activation_function["dense"],
-    )
+    head = str(cfg.behavior.get("value_head", "gaussian"))
+    if head == "twohot_symlog":
+        value = TwoHotValueModel(
+            hidden_size=int(cfg.rssm.hidden_size),
+            num_bins=int(cfg.behavior.get("twohot_bins", 255)),
+            activation_function=cfg.rssm.activation_function["dense"],
+        )
+    elif head == "gaussian":
+        value = ValueModel(
+            hidden_size=int(cfg.rssm.hidden_size),
+            activation_function=cfg.rssm.activation_function["dense"],
+        )
+    else:
+        raise ValueError(
+            f"behavior.value_head={head!r} not in ('gaussian', 'twohot_symlog')")
     return actor, value
 
 
@@ -124,6 +162,7 @@ def init_behavior_state(cfg, actor: ActorModel, value: ValueModel,
         value_params=value_params,
         actor_opt_state=actor_opt.init(actor_params),
         value_opt_state=value_opt.init(value_params),
+        return_scale=jnp.ones((), jnp.float32),
     )
 
 
@@ -195,6 +234,11 @@ def make_behavior_step(model: WorldModel, cfg, actor: ActorModel,
     bit_depth = int(cfg.env.bit_depth)
     use_pallas = tr.pallas_normalize_enabled(cfg)
     xla_opts = tr.resolve_xla_options(cfg)
+    use_twohot = str(b.get("value_head", "gaussian")) == "twohot_symlog"
+    twohot_bins = rt.bin_centers(int(b.get("twohot_bins", 255)))
+    use_return_norm = bool(b.get("return_norm", False))
+    rn_decay = float(b.get("return_norm_decay", 0.99))
+    rn_pct = float(b.get("return_norm_percentile", 5.0))
 
     def imagined_values_and_returns(actor_params, value_params, wm_variables,
                                     h0, s0, key):
@@ -208,23 +252,41 @@ def make_behavior_step(model: WorldModel, cfg, actor: ActorModel,
                                  discount, lam)                # [H-1, N]
         return traj, rewards, vals, returns
 
-    def actor_loss_fn(actor_params, value_params, wm_variables, h0, s0, key):
+    def actor_loss_fn(actor_params, value_params, wm_variables, h0, s0, key,
+                      return_scale):
         traj, rewards, vals, returns = imagined_values_and_returns(
             actor_params, value_params, wm_variables, h0, s0, key)
         # Discount weighting: step t of the imagined trajectory is t model
         # steps in the future (Dreamer applies cumprod of the discount
         # predictor; with no terminal predictor it is discount**t).
         weights = discount ** jnp.arange(horizon - 1, dtype=jnp.float32)
-        actor_loss = -jnp.mean(weights[:, None] * returns)
-        return actor_loss, (traj, rewards, vals, returns, weights)
+        if use_return_norm:
+            # DreamerV3 percentile normalization: advance the EMA range
+            # statistic on this batch's returns, scale the maximized
+            # objective by max(1, S) (ops/returns.py).
+            new_scale = rt.update_return_scale(
+                return_scale, returns, rn_decay, rn_pct)
+            objective = rt.normalize_returns(returns, new_scale)
+        else:
+            new_scale = return_scale
+            objective = returns
+        actor_loss = -jnp.mean(weights[:, None] * objective)
+        return actor_loss, (traj, rewards, vals, returns, weights, new_scale)
 
     def value_loss_fn(value_params, traj, targets, weights):
         hs = jax.lax.stop_gradient(traj["beliefs"][:-1])
         ss = jax.lax.stop_gradient(traj["states"][:-1])
         out = value.apply({"params": value_params}, hs, ss)
-        # Gaussian NLL at scale 1 (== 0.5*MSE + const), the reference
-        # ValueModel's own likelihood convention (policy.py:36-43).
-        logp = gaussian.log_prob(out["loc"], out["scale"], targets)
+        if use_twohot:
+            # DreamerV3 discrete regression: cross-entropy against the
+            # two-hot encoding of symlog(target) over fixed bins.
+            target_probs = rt.twohot(rt.symlog(targets), twohot_bins)
+            logp = jnp.sum(
+                target_probs * jax.nn.log_softmax(out["logits"], -1), -1)
+        else:
+            # Gaussian NLL at scale 1 (== 0.5*MSE + const), the reference
+            # ValueModel's own likelihood convention (policy.py:36-43).
+            logp = gaussian.log_prob(out["loc"], out["scale"], targets)
         return -jnp.mean(weights[:, None] * logp), out["loc"]
 
     @functools.partial(jax.jit, donate_argnums=(0,), compiler_options=xla_opts)
@@ -258,8 +320,8 @@ def make_behavior_step(model: WorldModel, cfg, actor: ActorModel,
         (actor_loss, aux), actor_grads = jax.value_and_grad(
             actor_loss_fn, has_aux=True)(
                 bstate.actor_params, bstate.value_params, wm_variables,
-                h0, s0, key_img)
-        traj, rewards, vals, returns, weights = aux
+                h0, s0, key_img, bstate.return_scale)
+        traj, rewards, vals, returns, weights, new_scale = aux
 
         targets = jax.lax.stop_gradient(returns)
         (value_loss, v_pred), value_grads = jax.value_and_grad(
@@ -279,6 +341,7 @@ def make_behavior_step(model: WorldModel, cfg, actor: ActorModel,
                                              value_updates),
             actor_opt_state=new_actor_opt,
             value_opt_state=new_value_opt,
+            return_scale=new_scale,
         )
         metrics = {
             "actor_loss": actor_loss,
@@ -288,6 +351,8 @@ def make_behavior_step(model: WorldModel, cfg, actor: ActorModel,
             "imag_value": jnp.mean(vals),
             "value_pred": jnp.mean(v_pred),
         }
+        if use_return_norm:
+            metrics["return_scale"] = new_scale
         return new_state, metrics
 
     return behavior_step
