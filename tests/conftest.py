@@ -7,6 +7,18 @@
   PyTorch-parity tests.
 - Persistent compilation cache: this container has a single CPU core and
   XLA compiles are expensive; the cache makes re-runs cheap.
+
+1-core scheduling hazard (diagnosed round 3): the 8 virtual devices
+execute on 8 spin-waiting threads; on a 1-core host (`nproc` == 1) the
+sharded-EXECUTION tests (test_parallel.py's grad-accum / hybrid-multislice
+/ model-axis rows, test_categorical's DP row) can degrade from ~1-5 min
+each to effectively wedged when several run back-to-back — each collective
+rendezvous needs the right thread scheduled while 7 others burn their
+quanta spinning.  Every such test passes standalone on the same host
+(hybrid-multislice: 70 s standalone vs >75 min wedged in-suite; the pair
+grad_accum+hybrid reproduces the wedge).  On >=2-core hosts the full suite
+completes in ~30-60 min.  If a 1-core run wedges, run test_parallel.py's
+heavy rows individually.
 """
 
 import os
