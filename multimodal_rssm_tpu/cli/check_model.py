@@ -39,6 +39,7 @@ def main():
 
     from multimodal_rssm_tpu.core.config import load_run_config
     from multimodal_rssm_tpu.eval import imagination, state_estimation, visualize
+    from multimodal_rssm_tpu.eval import metrics as metrics_lib
     from multimodal_rssm_tpu.models.world_model import WorldModel
     from multimodal_rssm_tpu.train import trainer as tr
     from multimodal_rssm_tpu.train.loop import get_dataset_loader
@@ -111,13 +112,16 @@ def main():
     roll, preds = imagination.imagine(
         model, variables, states, actions_in, t_start, horizon, det=True)
     mse = imagination.video_prediction_mse(preds, obs_target, t_start, horizon)
+    quality = metrics_lib.video_prediction_metrics(
+        preds, obs_target, t_start, horizon)
     with open(os.path.join(out_dir, "imagination_mse.json"), "w") as f:
-        json.dump({"t_start": t_start, "horizon": horizon, "mse": mse}, f,
-                  indent=2)
+        json.dump({"t_start": t_start, "horizon": horizon, "mse": mse,
+                   "metrics": quality}, f, indent=2)
     gt_window = {k: v[t_start + 1 : t_start + 1 + horizon]
                  for k, v in obs_target.items()}
     _save_image_grids(out_dir, "imagination", preds, gt_window, bit_depth)
-    print(f"analysis artifacts in {out_dir}; imagination MSE: {mse}")
+    print(f"analysis artifacts in {out_dir}; imagination MSE: {mse}; "
+          f"metrics: {quality}")
 
 
 def _save_image_grids(out_dir, tag, preds, targets, bit_depth, max_frames=8):
