@@ -73,11 +73,23 @@ def _cpu_host_tag() -> str:
 
     tag = platform.machine() or "unknown"
     try:
+        flags = model = ""
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
-                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
-                    return f"{tag}-{hashlib.sha1(feats.encode()).hexdigest()[:10]}"
+                if not flags and line.startswith(("flags", "Features")):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                elif not model and line.startswith("model name"):
+                    # the model name matters beyond the flag set: XLA picks
+                    # LLVM *tuning* features (e.g. prefer-no-scatter) from
+                    # the detected CPU model, so two hosts with identical
+                    # flag sets can still produce mismatched AOT entries
+                    # (observed round 4: per-load feature-mismatch errors)
+                    model = line.split(":", 1)[1].strip()
+                if flags and model:
+                    break
+        if flags or model:
+            h = hashlib.sha1(f"{model}|{flags}".encode()).hexdigest()[:10]
+            return f"{tag}-{h}"
     except OSError:
         pass
     return tag

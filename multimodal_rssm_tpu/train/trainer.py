@@ -320,8 +320,18 @@ def accumulated_value_and_grad(loss_fn, params, batch_stats, batch, key,
     noise-scale / PCA draws are shared).  Gradients and metrics are averaged
     (exact: all reductions are batch means); batch_stats (BatchNorm running
     stats) thread sequentially through the microbatches — a smaller-batch
-    EMA of the same statistics (deviation D15).  ``key=None`` takes the
-    deterministic Python-loop path used by the exactness tests.
+    EMA of the same statistics (deviation D15).  ``key=None`` is the
+    deterministic path used by the exactness/parity tests.
+
+    The microbatch loop is UNROLLED at trace time, never a ``lax.scan``:
+    ``accum`` is a small static int, unrolling lets XLA schedule/fuse
+    across microbatch boundaries, and — measured on a 1-core CPU host
+    (round 4) — a scan whose body is the full fwd+bwd executes ~85x
+    slower than the identical unrolled program on XLA:CPU (510 s vs 12 s
+    per step at test scale; the while-loop body re-dispatches every thunk
+    per iteration with no cross-iteration scheduling).  On TPU the
+    unrolled form is also what the compiler handles best; the cost is
+    compile time linear in ``accum``, fine for the realistic 2-16 range.
     """
     B = jax.tree_util.tree_leaves(batch)[0].shape[1]
     if B % accum != 0:
@@ -330,42 +340,22 @@ def accumulated_value_and_grad(loss_fn, params, batch_stats, batch, key,
     mb = B // accum
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    if key is None:  # deterministic path (parity/exactness tests)
-        gacc = None
-        stats = batch_stats
-        loss_sum = 0.0
-        ms = []
-        for i in range(accum):
-            (loss, (stats, m)), g = grad_fn(
-                params, stats, _slice_microbatch(batch, i * mb, mb), None, True
-            )
-            gacc = g if gacc is None else jax.tree_util.tree_map(
-                jnp.add, gacc, g)
-            loss_sum = loss_sum + loss
-            ms.append(m)
-        grads = jax.tree_util.tree_map(lambda x: x / accum, gacc)
-        metrics = jax.tree_util.tree_map(
-            lambda *xs: jnp.mean(jnp.stack(xs), axis=0), *ms)
-        return (loss_sum / accum, (stats, metrics)), grads
-
-    def body(carry, xs):
-        gacc, stats, loss_sum = carry
-        i, k = xs
+    keys = [None] * accum if key is None else list(jax.random.split(key, accum))
+    gacc = None
+    stats = batch_stats
+    loss_sum = 0.0
+    ms = []
+    for i in range(accum):
         (loss, (stats, m)), g = grad_fn(
-            params, stats, _slice_microbatch(batch, i * mb, mb), k, True
+            params, stats, _slice_microbatch(batch, i * mb, mb), keys[i], True
         )
-        gacc = jax.tree_util.tree_map(jnp.add, gacc, g)
-        return (gacc, stats, loss_sum + loss), m
-
-    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
-    (gacc, new_stats, loss_sum), ms = jax.lax.scan(
-        body,
-        (zeros, batch_stats, jnp.zeros((), jnp.float32)),
-        (jnp.arange(accum), jax.random.split(key, accum)),
-    )
+        gacc = g if gacc is None else jax.tree_util.tree_map(jnp.add, gacc, g)
+        loss_sum = loss_sum + loss
+        ms.append(m)
     grads = jax.tree_util.tree_map(lambda x: x / accum, gacc)
-    metrics = jax.tree_util.tree_map(lambda x: jnp.mean(x, axis=0), ms)
-    return (loss_sum / accum, (new_stats, metrics)), grads
+    metrics = jax.tree_util.tree_map(
+        lambda *xs: jnp.mean(jnp.stack(xs), axis=0), *ms)
+    return (loss_sum / accum, (stats, metrics)), grads
 
 
 # -- loss assembly --------------------------------------------------------

@@ -457,53 +457,57 @@ def test_export_filter_step_categorical(cat_setup, tmp_path):
     np.testing.assert_allclose(ps.sum(-1), 1.0, atol=1e-5)
 
 
-def test_dp_sharded_step_matches_single_device_categorical(cat_setup):
-    """The categorical train step under the 8-virtual-device data-parallel
-    mesh reproduces the single-device step (the ST one-hot sample is a
-    per-element function of pre-drawn noise, so sharding is exact up to
-    the gradient all-reduce order)."""
-    import copy
-
-    from multimodal_rssm_tpu.parallel import mesh as mesh_lib
+def test_det_imagination_uses_mode_onehots(cat_setup):
+    """Det-mode imagination for categorical latents seeds and decodes with
+    the MODE one-hot states (DreamerV2/V3 convention), never with the
+    probability vectors posterior_means/prior_means flatten — the dynamics
+    carry is the one-hot, and the decoder never saw probability-vector
+    inputs in training (ADVICE r3)."""
+    from multimodal_rssm_tpu.eval import imagination
     from multimodal_rssm_tpu.train import trainer as tr
 
-    cfg, _, D = cat_setup
-    cfg = copy.deepcopy(cfg)
-    cfg.train.batch_size = 8
-    cfg.train.chunk_size = 6
-    from multimodal_rssm_tpu.models.world_model import WorldModel
-
-    model = WorldModel.from_config(cfg)
-    optimizer = tr.build_optimizer(cfg)
+    cfg, model, D = cat_setup
     spec = tr.build_aug_spec(D)
-    train_step, _ = tr.make_train_step(model, cfg, optimizer, spec)
-    key = jax.random.PRNGKey(0)
-    rng_save = D.rng
-    D.rng = np.random.default_rng(99)
-    try:
-        obs, act, rew, nt = D.sample(8, 6)
-    finally:
-        D.rng = rng_save
-    raw = ({k: jnp.asarray(v) for k, v in obs.items()}, jnp.asarray(act),
-           jnp.asarray(rew), jnp.asarray(nt))
-    draws = tr.HostAugmentDraws(D, spec).draw()
-    prep = tr.prepare_observations(raw[0], spec, draws,
-                                   int(cfg.env.bit_depth), key)
-    state = tr.init_train_state(model, cfg, optimizer, key,
-                                (prep, *raw[1:]))
-    mesh = mesh_lib.create_mesh()
-    state_a, metrics_a = train_step(
-        jax.tree_util.tree_map(jnp.copy, state), raw, draws, key)
-    sharded = mesh_lib.shard_batch(raw, mesh, batch_dim=1)
-    state_b, metrics_b = train_step(
-        jax.tree_util.tree_map(jnp.copy, state), sharded, draws, key)
-    np.testing.assert_allclose(float(metrics_a["loss"]),
-                               float(metrics_b["loss"]), rtol=1e-5)
-    # Tolerances: the sharded all-reduce changes f32 summation order, and
-    # Adam's rsqrt at step 1 (second moment ~ grad^2) amplifies tiny grad
-    # diffs on near-zero-gradient params — observed max 9e-5 abs on 1/1536
-    # elements (same marginal behaviour the Gaussian test notes).
-    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
-                    jax.tree_util.tree_leaves(state_b.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-3, atol=2e-4)
+    key = jax.random.PRNGKey(5)
+    obs, act, rew, nt = D.sample(2, 8)
+    from multimodal_rssm_tpu.eval import state_estimation
+
+    prep = tr.prepare_observations(
+        {k: jnp.asarray(v) for k, v in obs.items()}, spec,
+        state_estimation.fixed_draws(D, spec), int(cfg.env.bit_depth), key)
+    obs_target = {k: v[1:] for k, v in prep.items()}
+    actions = jnp.asarray(act)[:-1]
+    # default __call__ init builds every module (incl. the decoders)
+    variables = model.init(key, obs_target, actions, jnp.asarray(nt)[:-1],
+                           key, train=False)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+    states = model.apply(variables, obs_target, actions,
+                         jnp.asarray(nt)[:-1], None, True, False,
+                         method=model.estimate_state)
+
+    t_start, horizon = 2, 4
+    roll, preds = imagination.imagine(model, variables, states, actions,
+                                      t_start, horizon, det=True)
+    V, K = 4, 6
+    # the rollout carry states are exact one-hots per latent variable
+    ps = np.asarray(roll["prior_states"]).reshape(horizon, 2, V, K)
+    np.testing.assert_array_equal(np.sort(ps, axis=-1)[..., :-1], 0.0)
+    np.testing.assert_allclose(ps.sum(-1), 1.0, atol=1e-6)
+    # and the decoded predictions are conditioned on those one-hots
+    expect = model.apply(variables, roll["beliefs"], roll["prior_states"],
+                         False, method=model.decode)
+    for name in preds:
+        np.testing.assert_array_equal(np.asarray(preds[name]["loc"]),
+                                      np.asarray(expect[name]["loc"]))
+
+
+def test_dp_sharded_step_matches_single_device_categorical():
+    """The categorical train step under a data-parallel mesh reproduces the
+    single-device step (the ST one-hot sample is a per-element function of
+    pre-drawn noise, so sharding is exact up to the gradient all-reduce
+    order).  Subprocess-isolated like every sharded-EXECUTION test — see
+    tests/sharded_cases.py for the case body and the wedge diagnosis."""
+    from tests._subproc import run_case
+
+    run_case("categorical_dp")

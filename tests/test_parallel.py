@@ -1,16 +1,20 @@
-"""Multi-device tests on the 8-virtual-device CPU mesh (SURVEY §4e):
-data-parallel sharded training must match the single-device step."""
-
-import copy
+"""Multi-device tests (SURVEY §4e): sharding METADATA tests run in-process
+on the suite's 8-virtual-device CPU platform (cheap — no multi-device
+execution); every sharded-EXECUTION equivalence test runs in its own
+subprocess on a 4-device platform via tests/sharded_cases.py (see that
+module's docstring for the 1-core wedge diagnosis that forced the split),
+bounded by a hard timeout so a regression fails loudly instead of hanging
+the suite."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from multimodal_rssm_tpu.models.world_model import WorldModel
 from multimodal_rssm_tpu.parallel import mesh as mesh_lib
-from multimodal_rssm_tpu.train import trainer as tr
+from tests._subproc import run_case
+
+# -- sharding metadata (in-process, no sharded execution) ------------------
 
 
 def test_virtual_devices_present():
@@ -54,273 +58,43 @@ def test_param_spec_rules():
     assert mesh_lib.param_spec(path, leaf, 2, min_width=1) == P(None, "model")
 
 
-@pytest.fixture(scope="module")
-def dp_setup(tiny_cfg, tiny_buffer):
-    cfg = copy.deepcopy(tiny_cfg)
-    cfg.train.batch_size = 8  # divisible by 8 devices
-    cfg.train.chunk_size = 6
-    model = WorldModel.from_config(cfg)
-    optimizer = tr.build_optimizer(cfg)
-    spec = tr.build_aug_spec(tiny_buffer)
-    train_step, eval_step = tr.make_train_step(model, cfg, optimizer, spec)
-
-    key = jax.random.PRNGKey(0)
-    # Pin the sampler RNG for this fixture: the session-scoped buffer's
-    # generator state depends on how many earlier tests drew from it, and
-    # the sharded-vs-single tolerances below are marginal for some batches
-    # (observed: in-suite failure, isolated pass).  Restore afterwards so
-    # other tests' data is unaffected.
-    rng_save = tiny_buffer.rng
-    tiny_buffer.rng = np.random.default_rng(1234)
-    try:
-        obs, act, rew, nt = tiny_buffer.sample(8, 6)
-    finally:
-        tiny_buffer.rng = rng_save
-    raw = ({k: jnp.asarray(v) for k, v in obs.items()},
-           jnp.asarray(act), jnp.asarray(rew), jnp.asarray(nt))
-    draws = tr.HostAugmentDraws(tiny_buffer, spec).draw()
-    prep = tr.prepare_observations(raw[0], spec, draws,
-                                   int(cfg.env.bit_depth), key)
-    state = tr.init_train_state(model, cfg, optimizer, key,
-                                (prep, raw[1], raw[2], raw[3]))
-    return cfg, model, train_step, state, raw, draws, key
-
-
-def test_dp_sharded_step_matches_single_device(dp_setup):
-    """The jitted step on a batch sharded over 8 devices produces the same
-    params as on a replicated (single-device-layout) batch — XLA's implicit
-    gradient psum is exact here because every collective reduces the same
-    f32 values."""
-    cfg, model, train_step, state, raw, draws, key = dp_setup
-    mesh = mesh_lib.create_mesh()
-
-    # single-device baseline
-    state_a, metrics_a = train_step(
-        jax.tree_util.tree_map(jnp.copy, state), raw, draws, key
-    )
-    # sharded
-    sharded_batch = mesh_lib.shard_batch(raw, mesh, batch_dim=1)
-    state_b, metrics_b = train_step(
-        jax.tree_util.tree_map(jnp.copy, state), sharded_batch, draws, key
-    )
-
-    np.testing.assert_allclose(
-        float(metrics_a["loss"]), float(metrics_b["loss"]), rtol=1e-5
-    )
-    leaves_a = jax.tree_util.tree_leaves(state_a.params)
-    leaves_b = jax.tree_util.tree_leaves(state_b.params)
-    for a, b in zip(leaves_a, leaves_b):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-4, atol=2e-5)
-
-
-def test_model_axis_sharding_matches_replicated(dp_setup):
-    """Column-sharding the wide matmuls over a (4 data x 2 model) mesh must
-    reproduce the replicated step (XLA inserts the all-gathers)."""
-    cfg, model, train_step, state, raw, draws, key = dp_setup
-    mesh = mesh_lib.create_mesh(n_data=4, n_model=2)
-
-    state_a, metrics_a = train_step(
-        jax.tree_util.tree_map(jnp.copy, state), raw, draws, key
-    )
-
-    # copy EVERY leaf before device_put: the donated step must not consume
-    # buffers aliased with the module-scoped fixture's state (device_put to
-    # an equivalent sharding can alias rather than copy)
-    sharded = tr.TrainState(
-        step=jax.device_put(jnp.copy(state.step), mesh_lib.replicated(mesh)),
-        params=mesh_lib.shard_params(
-            jax.tree_util.tree_map(jnp.copy, state.params), mesh, min_width=1
-        ),
-        batch_stats=jax.device_put(
-            jax.tree_util.tree_map(jnp.copy, state.batch_stats),
-            mesh_lib.replicated(mesh),
-        ),
-        opt_state=mesh_lib.shard_params(
-            jax.tree_util.tree_map(jnp.copy, state.opt_state), mesh, min_width=1
-        ),
-    )
-    # the test must not be vacuous: at least one kernel is model-sharded
-    assert any(
-        not leaf.sharding.is_fully_replicated
-        for leaf in jax.tree_util.tree_leaves(sharded.params)
-    )
-    batch = mesh_lib.shard_batch(raw, mesh, batch_dim=1)
-    state_b, metrics_b = train_step(sharded, batch, draws, key)
-
-    np.testing.assert_allclose(float(metrics_a["loss"]), float(metrics_b["loss"]),
-                               rtol=1e-5)
-    # Adam's rsqrt amplifies the collectives' reduction-order rounding on
-    # near-zero parameters (observed: a lone element at 2.5e-4 abs out of
-    # 2M); loss agrees to ~1e-5, parameters after one update to ~5e-4 abs.
-    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
-                    jax.tree_util.tree_leaves(state_b.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-2, atol=5e-4)
-
-
-def test_grad_accum_step_dp_sharded_matches_single(dp_setup, tiny_buffer):
-    """``train.grad_accum`` under a data-sharded batch (the combination a
-    pod uses for batches beyond one chip's compile/HBM limit, DESIGN D15):
-    the microbatch ``dynamic_slice`` runs on operands sharded over the
-    ``data`` axis, so this pins that the scan-of-microbatches program
-    compiles under GSPMD and reproduces the replicated-batch result."""
-    cfg, model, _, state, raw, draws, key = dp_setup
-    cfg2 = copy.deepcopy(cfg)
-    cfg2.train.grad_accum = 2
-    optimizer = tr.build_optimizer(cfg2)
-    spec = tr.build_aug_spec(tiny_buffer)
-    step2, _ = tr.make_train_step(model, cfg2, optimizer, spec)
-
-    state_a, metrics_a = step2(
-        jax.tree_util.tree_map(jnp.copy, state), raw, draws, key
-    )
-    # microbatch = 8/2 = 4 rows: shard over a 4-device data axis so each
-    # microbatch slice still divides evenly across shards
-    mesh = mesh_lib.create_mesh(n_data=4, n_model=2)
-    sharded_batch = mesh_lib.shard_batch(raw, mesh, batch_dim=1)
-    state_b, metrics_b = step2(
-        jax.tree_util.tree_map(jnp.copy, state), sharded_batch, draws, key
-    )
-
-    np.testing.assert_allclose(
-        float(metrics_a["loss"]), float(metrics_b["loss"]), rtol=1e-5
-    )
-    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
-                    jax.tree_util.tree_leaves(state_b.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-4, atol=2e-5)
-
-
-def test_hybrid_multislice_step_matches_single(dp_setup, tiny_buffer):
-    """Multi-slice DP (parallel/mesh.create_hybrid_mesh): on a (2 slice x
-    2 data x 2 model) hybrid mesh — batch sharded over ('slice', 'data'),
-    wide kernels over 'model' — the train step reproduces the single-device
-    result.  On real multi-slice TPU the slice axis maps to DCN; on the
-    flat CPU test platform it is a contiguous device grouping, so the same
-    code path is exercised here."""
-    from multimodal_rssm_tpu.data.device_buffer import DeviceReplay
-
-    cfg, model, train_step, state, raw, draws, key = dp_setup
+def test_hybrid_mesh_metadata():
+    """The full (2 slice x 2 data x 2 model) hybrid mesh on 8 devices:
+    axis names/sizes, batch sharded over ('slice', 'data'), model-axis
+    kernels column-sharded.  Execution equivalence of the slice+data axes
+    is case_hybrid_multislice; of the model axis, case_model_axis."""
     mesh = mesh_lib.create_hybrid_mesh(n_slices=2, n_data=2, n_model=2)
     assert mesh.axis_names == ("slice", "data", "model")
     assert dict(mesh.shape) == {"slice": 2, "data": 2, "model": 2}
+    assert mesh_lib.data_axes(mesh) == ("slice", "data")
 
-    state_a, metrics_a = train_step(
-        jax.tree_util.tree_map(jnp.copy, state), raw, draws, key)
-
-    sharded = tr.TrainState(
-        step=jax.device_put(jnp.copy(state.step), mesh_lib.replicated(mesh)),
-        params=mesh_lib.shard_params(
-            jax.tree_util.tree_map(jnp.copy, state.params), mesh, min_width=1),
-        batch_stats=jax.device_put(
-            jax.tree_util.tree_map(jnp.copy, state.batch_stats),
-            mesh_lib.replicated(mesh)),
-        opt_state=mesh_lib.shard_params(
-            jax.tree_util.tree_map(jnp.copy, state.opt_state), mesh,
-            min_width=1),
-    )
-    batch = mesh_lib.shard_batch(raw, mesh, batch_dim=1)
-    leaf = jax.tree_util.tree_leaves(batch)[0]
+    x = jnp.ones((4, 8, 3))
+    leaf = mesh_lib.shard_batch({"x": x}, mesh)["x"]
     assert leaf.sharding.spec[1] == ("slice", "data")
-    state_b, metrics_b = train_step(sharded, batch, draws, key)
 
-    np.testing.assert_allclose(float(metrics_a["loss"]),
-                               float(metrics_b["loss"]), rtol=1e-5)
-    # same tolerance rationale as the model-axis test above (Adam rsqrt
-    # amplifies collective reduction-order rounding)
-    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
-                    jax.tree_util.tree_leaves(state_b.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-2, atol=5e-4)
-
-    # the device-resident feed shards its index matrix over BOTH data axes
-    dev = DeviceReplay(tiny_buffer, mesh=mesh)
-    idxs = dev.sample_indices(8, 6)
-    assert idxs.sharding.spec[0] == ("slice", "data")
+    params = {"wide": {"kernel": jnp.zeros((8, 16))}}
+    sharded = mesh_lib.shard_params(params, mesh, min_width=1)
+    assert not sharded["wide"]["kernel"].sharding.is_fully_replicated
 
 
-def test_dryrun_multichip():
-    """The driver-facing multi-chip dry run compiles and executes."""
-    import importlib.util, os
-
-    spec = importlib.util.spec_from_file_location(
-        "__graft_entry__",
-        os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"),
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    mod.dryrun_multichip(8)
-
-
-def test_device_replay_sharded_matches_host_path(dp_setup, tiny_buffer):
-    """Multi-chip training keeps the HBM-resident feed (VERDICT r1 weak #2):
-    a DeviceReplay built on a mesh (buffer replicated, [n, L] indices
-    sharded over ``data``) must reproduce the host-streamed sharded step for
-    the same chunk indices."""
-    from multimodal_rssm_tpu.data.device_buffer import DeviceReplay
-
-    cfg, model, train_step, state, raw, draws, key = dp_setup
-    mesh = mesh_lib.create_mesh()
-    optimizer = tr.build_optimizer(cfg)
-    spec = tr.build_aug_spec(tiny_buffer)
-    dr_train_step, dr_eval_step = tr.make_device_resident_steps(
-        model, cfg, optimizer, spec, tiny_buffer.observation_names)
-
-    dev = DeviceReplay(tiny_buffer, mesh=mesh)
-    # buffer rows replicated over the mesh
-    leaf = next(iter(dev.arrays.values()))
-    assert leaf.sharding.is_fully_replicated
-
-    n, L = 8, 6
-    host_idxs = tiny_buffer.sample_indices(n, L)
-    idxs = jax.device_put(
-        jnp.asarray(host_idxs.astype(np.int32)), dev._idx_sharding)
-    assert idxs.sharding.spec[0] == mesh_lib.DATA_AXIS
-
-    # host-streamed sharded baseline on the SAME chunks
-    obs, act, rew, nt = tiny_buffer.gather(host_idxs, n, L)
-    host_raw = ({k: jnp.asarray(v) for k, v in obs.items()},
-                jnp.asarray(act), jnp.asarray(rew), jnp.asarray(nt))
-    host_batch = mesh_lib.shard_batch(host_raw, mesh, batch_dim=1)
-    state_a, metrics_a = train_step(
-        jax.tree_util.tree_map(jnp.copy, state), host_batch, draws, key)
-
-    state_b, metrics_b = dr_train_step(
-        jax.tree_util.tree_map(jnp.copy, state), dev.arrays, idxs, draws, key)
-
-    np.testing.assert_allclose(float(metrics_a["loss"]),
-                               float(metrics_b["loss"]), rtol=1e-5)
-    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
-                    jax.tree_util.tree_leaves(state_b.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-4, atol=2e-5)
-
-    vmetrics = dr_eval_step(state_b, dev.arrays,
-                            dev.sample_indices(n, L), draws, key)
-    assert np.isfinite(float(vmetrics["loss"]))
-
-
-def test_global_batch_from_local(dp_setup):
+def test_global_batch_from_local_metadata():
     """Multi-host feed API (parallel/feed.py): on one process the global
-    array equals the local batch, sharded over the data axis; the sharded
-    train step consumes it directly."""
-    import numpy as np
+    array equals the local batch, sharded over the data axis.  (That a
+    sharded train step consumes such arrays is proven end-to-end by the
+    2-process test in test_multihost.py.)"""
     from multimodal_rssm_tpu.parallel.feed import global_batch_from_local
 
-    cfg, model, train_step, state, raw, draws, key = dp_setup
     mesh = mesh_lib.create_mesh()
-    host_batch = jax.tree_util.tree_map(np.asarray, raw)
+    host_batch = {
+        "obs": np.arange(4 * 8 * 3, dtype=np.float32).reshape(4, 8, 3),
+        "rew": np.ones((4, 8), np.float32),
+    }
     gbatch = global_batch_from_local(mesh, host_batch, batch_dim=1)
 
-    leaf = jax.tree_util.tree_leaves(gbatch)[0]
-    assert leaf.sharding.spec[1] == mesh_lib.DATA_AXIS
-    np.testing.assert_array_equal(
-        np.asarray(leaf), np.asarray(jax.tree_util.tree_leaves(raw)[0]))
-
-    state2, metrics = train_step(
-        jax.tree_util.tree_map(jnp.copy, state), gbatch, draws, key)
-    assert np.isfinite(float(metrics["loss"]))
+    for k in host_batch:
+        leaf = gbatch[k]
+        assert leaf.sharding.spec[1] == mesh_lib.DATA_AXIS
+        np.testing.assert_array_equal(np.asarray(leaf), host_batch[k])
 
 
 def test_histogram_logging(tmp_path):
@@ -357,113 +131,57 @@ def test_histogram_logging_nonfinite(tmp_path):
     assert rec["grads_dead/hist"] == {"count": 2, "nonfinite": 2}
 
 
-def test_behavior_step_dp_sharded_matches_single(tiny_cfg, tiny_buffer):
-    """The behavior (actor-critic-in-imagination) step is mesh-compatible:
-    a batch sharded over the data axis reproduces the single-device update
-    (XLA inserts the gradient all-reduces; imagination starts are the
-    flattened (T-1)*B posterior states, so they shard with the batch)."""
-    from multimodal_rssm_tpu.train import behavior as bh
-
-    cfg = copy.deepcopy(tiny_cfg)
-    cfg.train.batch_size = 8
-    cfg.train.chunk_size = 6
-    bh.behavior_cfg(cfg)
-    cfg.behavior.horizon = 3
-
-    model = WorldModel.from_config(cfg)
-    optimizer = tr.build_optimizer(cfg)
-    spec = tr.build_aug_spec(tiny_buffer)
-
-    key = jax.random.PRNGKey(0)
-    rng_save = tiny_buffer.rng
-    tiny_buffer.rng = np.random.default_rng(4321)
-    try:
-        obs, act, rew, nt = tiny_buffer.sample(8, 6)
-    finally:
-        tiny_buffer.rng = rng_save
-    raw = ({k: jnp.asarray(v) for k, v in obs.items()},
-           jnp.asarray(act), jnp.asarray(rew), jnp.asarray(nt))
-    draws = tr.HostAugmentDraws(tiny_buffer, spec).draw()
-    prep = tr.prepare_observations(raw[0], spec, draws,
-                                   int(cfg.env.bit_depth), key)
-    wm_state = tr.init_train_state(model, cfg, optimizer, key,
-                                   (prep, raw[1], raw[2], raw[3]))
-    wm_variables = {"params": wm_state.params,
-                    "batch_stats": wm_state.batch_stats}
-
-    actor, value = bh.build_policy_models(cfg)
-    a_opt, v_opt = bh.build_behavior_optimizers(cfg)
-    bstate = bh.init_behavior_state(cfg, actor, value, a_opt, v_opt,
-                                    jax.random.PRNGKey(1))
-    step_fn = bh.make_behavior_step(model, cfg, actor, value, a_opt, v_opt,
-                                    spec)
-
-    state_a, metrics_a = step_fn(
-        jax.tree_util.tree_map(jnp.copy, bstate), wm_variables, raw, draws,
-        key)
-
-    mesh = mesh_lib.create_mesh()
-    rep = mesh_lib.replicated(mesh)
-    bstate_r = jax.device_put(jax.tree_util.tree_map(jnp.copy, bstate), rep)
-    wm_r = jax.device_put(wm_variables, rep)
-    batch = mesh_lib.shard_batch(raw, mesh, batch_dim=1)
-    state_b, metrics_b = step_fn(bstate_r, wm_r, batch, draws, key)
-
-    for k in metrics_a:
-        np.testing.assert_allclose(float(metrics_a[k]), float(metrics_b[k]),
-                                   rtol=1e-4, atol=1e-5, err_msg=k)
-    for a, b in zip(jax.tree_util.tree_leaves(state_a.actor_params),
-                    jax.tree_util.tree_leaves(state_b.actor_params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-4, atol=2e-5)
+# -- sharded execution (subprocess-isolated, bounded) ----------------------
 
 
-def test_cli_mesh_training_end_to_end(tiny_cfg, tiny_dataset_dir,
-                                      tmp_path_factory):
-    """Multi-chip training is reachable from config alone: train.mesh
-    builds the mesh inside loop.run (no code), the TrainState is placed on
-    it (model-axis kernels sharded — asserted non-vacuous via
-    min_shard_width=1), training completes with finite metrics, and a
+def test_dp_sharded_step_matches_single_device():
+    """The jitted step on a batch sharded over the data axis produces the
+    same params as on a replicated-layout batch (XLA's implicit gradient
+    psum is exact here because every collective reduces the same f32
+    values)."""
+    run_case("dp_sharded")
+
+
+def test_model_axis_sharding_matches_replicated():
+    """Column-sharding the wide matmuls over a (2 data x 2 model) mesh
+    reproduces the replicated step (XLA inserts the all-gathers)."""
+    run_case("model_axis")
+
+
+def test_grad_accum_step_dp_sharded_matches_single():
+    """``train.grad_accum`` under a data-sharded batch with model-axis
+    kernels (DESIGN D15): the microbatch ``dynamic_slice`` runs on operands
+    sharded over the ``data`` axis, pinning that the unrolled-microbatch
+    program compiles under GSPMD and reproduces the replicated result."""
+    run_case("grad_accum")
+
+
+def test_hybrid_multislice_step_matches_single():
+    """Multi-slice DP on a (slice x data) hybrid mesh reproduces the
+    single-device step; on real TPU the slice axis maps to DCN."""
+    run_case("hybrid_multislice")
+
+
+def test_device_replay_sharded_matches_host_path():
+    """Multi-chip training keeps the HBM-resident feed (VERDICT r1 weak
+    #2): a DeviceReplay on a mesh must reproduce the host-streamed sharded
+    step for the same chunk indices."""
+    run_case("device_replay")
+
+
+def test_behavior_step_dp_sharded_matches_single():
+    """The behavior (actor-critic-in-imagination) step is mesh-compatible."""
+    run_case("behavior_dp")
+
+
+def test_cli_mesh_training_end_to_end():
+    """Multi-chip training is reachable from config alone (train.mesh),
+    model-axis sharding is non-vacuous and survives the jitted steps, and
     resume restores the checkpoint back onto the mesh."""
-    import copy
-    import glob
-    import json
-    import os
+    run_case("cli_mesh_e2e")
 
-    from multimodal_rssm_tpu.train.loop import run
 
-    cfg = copy.deepcopy(tiny_cfg)
-    cfg.main.experiment_name = "mesh_cli"
-    cfg.train.train_data_path = tiny_dataset_dir
-    cfg.train.validation_data_path = tiny_dataset_dir
-    cfg.train.train_iteration = 3
-    cfg.train.checkpoint_interval = 3
-    cfg.train.validation_interval = 2
-    cfg.train.mesh = {"data": 2, "model": 2, "slice": 1,
-                      "min_shard_width": 1}
-
-    cwd = str(tmp_path_factory.mktemp("mesh_cli"))
-    state, results_dir = run(copy.deepcopy(cfg), cwd=cwd)
-    assert int(state.step) == 3
-
-    # the model axis actually sharded at least one kernel, and the layout
-    # SURVIVED the jitted steps (trainer pins it with a sharding
-    # constraint — GSPMD would otherwise resolve the output replicated)
-    sharded = [
-        l for l in jax.tree_util.tree_leaves(state.params)
-        if hasattr(l, "sharding") and not l.sharding.is_fully_replicated
-    ]
-    assert sharded, "model-axis sharding was vacuous"
-
-    lines = [json.loads(l)
-             for l in open(os.path.join(results_dir, "metrics.jsonl"))]
-    losses = [l["loss/train"] for l in lines if "loss/train" in l]
-    assert len(losses) == 3 and np.isfinite(losses).all()
-    assert glob.glob(os.path.join(results_dir, "models_3.msgpack"))
-
-    # resume onto the mesh: restore (host numpy leaves) -> _place -> 2 more
-    cfg2 = copy.deepcopy(cfg)
-    cfg2.train.train_iteration = 5
-    state2, results_dir2 = run(cfg2, cwd=cwd, resume_dir=results_dir)
-    assert results_dir2 == results_dir
-    assert int(state2.step) == 5
+def test_dryrun_multichip():
+    """The driver-facing multi-chip dry run compiles and executes at the
+    driver's own device count (8)."""
+    run_case("dryrun_multichip")
