@@ -138,6 +138,7 @@ def main():
     float(jax.device_get(metrics["loss"]))
     elapsed = time.perf_counter() - t0
     steps_per_sec = args.steps / elapsed
+    sec_per_step = elapsed / args.steps
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "bench_baseline_torch.json")
@@ -149,12 +150,67 @@ def main():
         if base:
             vs_baseline = steps_per_sec / base
 
+    # ---- roofline (VERDICT r3 #2): XLA cost analysis of the compiled step
+    # -> machine-checkable MFU / HBM-bandwidth utilisation, so a perf
+    # regression is visible in BENCH_r*.json rather than buried in prose.
+    flops = hbm_bytes = None
+    try:
+        if use_device_replay:
+            lowered = train_step.lower(
+                state, dev.arrays, dev.sample_indices(B, L),
+                draws_src.draw(), key)
+        else:
+            lowered = train_step.lower(state, device_batch(),
+                                       draws_src.draw(), key)
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):  # older jax returned [dict]
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0)) or None
+        hbm_bytes = float(ca.get("bytes accessed", 0)) or None
+    except Exception as e:  # cost analysis is best-effort per backend
+        print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+
+    peak_flops, peak_bw = _device_peaks(jax.devices()[0])
+    mfu = (flops / sec_per_step / peak_flops
+           if flops and peak_flops else None)
+    hbm_util = (hbm_bytes / sec_per_step / peak_bw
+                if hbm_bytes and peak_bw else None)
+
     print(json.dumps({
         "metric": "cobotta_mrssm_train_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 4),
         "unit": "steps/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "ms_per_step": round(1e3 * sec_per_step, 2),
+        "frames_per_sec": round(steps_per_sec * B * L, 1),
+        "flops_per_step": flops,
+        "hbm_bytes_per_step": hbm_bytes,
+        "mfu": round(mfu, 4) if mfu else None,
+        "hbm_util": round(hbm_util, 4) if hbm_util else None,
+        "device_kind": getattr(jax.devices()[0], "device_kind", "unknown"),
     }))
+
+
+def _device_peaks(dev):
+    """(peak bf16 FLOP/s, peak HBM bytes/s) per chip by device kind.
+
+    Public per-chip specs (cloud.google.com/tpu/docs/system-architecture);
+    bf16 MXU peak is the right denominator for this bf16-compute step
+    (train.use_amp -> bf16 policy, DESIGN D7).  Unknown kinds (CPU, new
+    TPUs) return (None, None) and the utilisation fields are omitted.
+    """
+    table = [
+        ("v5 lite", (197e12, 819e9)), ("v5e", (197e12, 819e9)),
+        ("v5p", (459e12, 2765e9)),
+        ("v6 lite", (918e12, 1640e9)), ("v6e", (918e12, 1640e9)),
+        ("v4", (275e12, 1228e9)),
+        ("v3", (123e12, 900e9)),
+    ]
+    kind = getattr(dev, "device_kind", "").lower()
+    for sub, peaks in table:
+        if sub in kind:
+            return peaks
+    return (None, None)
 
 
 if __name__ == "__main__":
