@@ -46,17 +46,30 @@ def imagine(
     actions: the chunk's [T-1, B, A] actions (aligned with states).
     Returns (prior rollout dict, per-modality decoded predictions), each
     covering times t_start+1 .. t_start+horizon.
+
+    Det-state convention per latent family (ADVICE r3): for Gaussian
+    latents the det state is the mean (``*_means``; identical to
+    ``*_states`` under zero eps).  For categorical latents the det state
+    is the MODE one-hot (``*_states`` under zero Gumbel noise — the
+    DreamerV2/V3 convention): the dynamics carry is the one-hot, so the
+    decoder must be conditioned on the same one-hots, not on the
+    probability vectors ``*_means`` flattens — the decoder never saw
+    probability-vector inputs during training.  Callers in det mode must
+    therefore pass ``states`` from a det estimate (check_model does).
     """
     T = actions.shape[0]
     horizon = horizon if horizon is not None else T - t_start - 1
+    categorical = getattr(model, "latent_dist", "gaussian") == "categorical"
+    det_key = "posterior_states" if categorical else "posterior_means"
     h0 = states["beliefs"][t_start]
-    s0 = (states["posterior_means"] if det else states["posterior_states"])[t_start]
+    s0 = (states[det_key] if det else states["posterior_states"])[t_start]
     acts = actions[t_start + 1 : t_start + 1 + horizon]
     roll = model.apply(
         variables, h0, s0, acts, None, key, det,
         method=model.rollout_prior,
     )
-    s_roll = roll["prior_means"] if det else roll["prior_states"]
+    det_roll_key = "prior_states" if categorical else "prior_means"
+    s_roll = roll[det_roll_key] if det else roll["prior_states"]
     preds = model.apply(
         variables, roll["beliefs"], s_roll, False, method=model.decode,
     )

@@ -45,11 +45,22 @@ def ssim(pred: jnp.ndarray, target: jnp.ndarray, max_val: float = 1.0,
     """Mean structural similarity (Wang et al. 2004) with a uniform
     ``win``x``win`` window (the standard tf.image/skimage uniform variant).
 
-    pred/target: [..., H, W, C]; leading axes are folded into the batch.
-    Returns the scalar mean SSIM over all windows/channels/frames.
+    pred/target: [..., H, W, C] in this framework's zero-centered training
+    range [-max_val/2, +max_val/2] (bit-depth normalise, ops/image.py);
+    leading axes are folded into the batch.  Returns the scalar mean SSIM
+    over all windows/channels/frames.
+
+    Inputs are shifted to the non-negative [0, max_val] convention before
+    the computation (ADVICE r3): the luminance term
+    (2·mu_p·mu_t + c1)/(mu_p² + mu_t² + c1) assumes data anchored at 0
+    (tf.image.ssim requires non-negative inputs) — on the zero-centered
+    [-0.5, 0.5] training range, windows with near-zero means of opposite
+    sign flip the term negative and the score stops being comparable to
+    the SV2P/FitVid-style literature numbers.  The shift leaves variances
+    and covariance (the contrast/structure terms) unchanged.
     """
-    p = pred.astype(jnp.float32)
-    t = target.astype(jnp.float32)
+    p = pred.astype(jnp.float32) + (max_val / 2.0)
+    t = target.astype(jnp.float32) + (max_val / 2.0)
     H, W, C = p.shape[-3:]
     if min(H, W) < win:
         raise ValueError(f"image {H}x{W} smaller than SSIM window {win}")

@@ -184,12 +184,51 @@ def latest_checkpoint(results_dir: str) -> Optional[str]:
     return best
 
 
+def _fill_missing_fields(template_sd, payload_sd, path="", filled=None):
+    """Recursively inject template defaults for dict keys absent from a
+    restored state dict (schema-forward restore: a checkpoint written
+    before a field existed — e.g. BehaviorState.return_scale, added round
+    3 — stays loadable; the new field starts at its init value).  Returns
+    (merged, filled_key_paths)."""
+    if filled is None:
+        filled = []
+    if not isinstance(template_sd, dict) or not isinstance(payload_sd, dict):
+        return payload_sd, filled
+    merged = {}
+    for k, tv in template_sd.items():
+        if k in payload_sd:
+            merged[k], _ = _fill_missing_fields(
+                tv, payload_sd[k], f"{path}/{k}", filled)
+        else:
+            merged[k] = tv
+            filled.append(f"{path}/{k}")
+    # keys present in the payload but not the template are kept so
+    # from_state_dict raises its usual unknown-field error (a silently
+    # dropped field would hide a real schema mismatch)
+    for k, v in payload_sd.items():
+        if k not in merged:
+            merged[k] = v
+    return merged, filled
+
+
 def load_checkpoint(path: str, train_state_template) -> Tuple[Any, int, Dict]:
     """Restore a TrainState from file given a freshly-initialised template
-    (shapes/dtypes source).  Returns (state, step, extra)."""
+    (shapes/dtypes source).  Returns (state, step, extra).
+
+    Fields the template has but the checkpoint lacks are filled from the
+    template (with a warning) so checkpoints predating a state-schema
+    addition keep loading (ADVICE r3)."""
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
-    state = serialization.from_state_dict(train_state_template, payload["state"])
+    template_sd = serialization.to_state_dict(train_state_template)
+    merged, filled = _fill_missing_fields(template_sd, payload["state"])
+    if filled:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "checkpoint %s predates state field(s) %s; using template "
+            "init values for them", path, ", ".join(filled))
+    state = serialization.from_state_dict(train_state_template, merged)
     return state, int(payload["step"]), dict(payload.get("extra", {}))
 
 

@@ -69,15 +69,28 @@ def twohot_decode(probs: jnp.ndarray, bins: jnp.ndarray) -> jnp.ndarray:
 
 
 def update_return_scale(prev_scale: jnp.ndarray, returns: jnp.ndarray,
-                        decay: float = 0.99,
-                        percentile: float = 5.0) -> jnp.ndarray:
+                        decay: float = 0.99, percentile: float = 5.0,
+                        step=None) -> jnp.ndarray:
     """EMA of the (100-p)th minus p-th percentile of the imagined returns
     (DreamerV3's range statistic S).  ``returns`` may be any shape; the
     percentiles are over all elements.  Gradients are stopped — this is a
-    running statistic, not a learned quantity."""
+    running statistic, not a learned quantity.
+
+    ``step`` (the behavior optimiser step, traced or concrete) removes the
+    EMA warmup bias (ADVICE r3): the carry is seeded at 1.0, so with decay
+    0.99 an environment whose true spread is far from 1 would otherwise
+    need ~300 updates before the normalizer is right — under-normalised
+    early actor updates act like a larger learning rate.  At step 0 the
+    statistic jumps straight to the first batch's spread (DreamerV3
+    debiases its moment EMA for exactly this warmup); afterwards it is the
+    standard EMA.  ``step=None`` keeps the raw-EMA behaviour.
+    """
     r = jax.lax.stop_gradient(returns.astype(jnp.float32).ravel())
     spread = jnp.percentile(r, 100.0 - percentile) - jnp.percentile(r, percentile)
-    return decay * prev_scale + (1.0 - decay) * spread
+    ema = decay * prev_scale + (1.0 - decay) * spread
+    if step is None:
+        return ema
+    return jnp.where(jnp.asarray(step) == 0, spread, ema)
 
 
 def normalize_returns(returns: jnp.ndarray, scale: jnp.ndarray

@@ -253,7 +253,7 @@ def make_behavior_step(model: WorldModel, cfg, actor: ActorModel,
         return traj, rewards, vals, returns
 
     def actor_loss_fn(actor_params, value_params, wm_variables, h0, s0, key,
-                      return_scale):
+                      return_scale, step):
         traj, rewards, vals, returns = imagined_values_and_returns(
             actor_params, value_params, wm_variables, h0, s0, key)
         # Discount weighting: step t of the imagined trajectory is t model
@@ -262,10 +262,11 @@ def make_behavior_step(model: WorldModel, cfg, actor: ActorModel,
         weights = discount ** jnp.arange(horizon - 1, dtype=jnp.float32)
         if use_return_norm:
             # DreamerV3 percentile normalization: advance the EMA range
-            # statistic on this batch's returns, scale the maximized
-            # objective by max(1, S) (ops/returns.py).
+            # statistic on this batch's returns (seeded from the first
+            # batch's spread at step 0 — warmup debias, ADVICE r3), scale
+            # the maximized objective by max(1, S) (ops/returns.py).
             new_scale = rt.update_return_scale(
-                return_scale, returns, rn_decay, rn_pct)
+                return_scale, returns, rn_decay, rn_pct, step=step)
             objective = rt.normalize_returns(returns, new_scale)
         else:
             new_scale = return_scale
@@ -320,7 +321,7 @@ def make_behavior_step(model: WorldModel, cfg, actor: ActorModel,
         (actor_loss, aux), actor_grads = jax.value_and_grad(
             actor_loss_fn, has_aux=True)(
                 bstate.actor_params, bstate.value_params, wm_variables,
-                h0, s0, key_img, bstate.return_scale)
+                h0, s0, key_img, bstate.return_scale, bstate.step)
         traj, rewards, vals, returns, weights, new_scale = aux
 
         targets = jax.lax.stop_gradient(returns)

@@ -204,6 +204,36 @@ def test_behavior_checkpoint_roundtrip(behavior_setup, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_behavior_checkpoint_pre_return_scale_loads(behavior_setup,
+                                                    tmp_path):
+    """A behavior checkpoint written BEFORE BehaviorState.return_scale
+    existed (pre-round-3 schema) must still restore: the missing field is
+    filled from the template's init value (ADVICE r3 schema-forward
+    restore in io/checkpoint.load_checkpoint)."""
+    from flax import serialization
+
+    from multimodal_rssm_tpu.io import checkpoint as ckpt
+
+    s = behavior_setup
+    path = ckpt.save_checkpoint(str(tmp_path), 3, s["bstate"])
+    # rewrite the file with the return_scale entry dropped, simulating the
+    # old schema
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    assert "return_scale" in payload["state"]
+    del payload["state"]["return_scale"]
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+
+    restored, step, _ = ckpt.load_checkpoint(path, s["bstate"])
+    assert step == 3
+    np.testing.assert_array_equal(np.asarray(restored.return_scale),
+                                  np.asarray(s["bstate"].return_scale))
+    for a, b in zip(jax.tree_util.tree_leaves(s["bstate"].actor_params),
+                    jax.tree_util.tree_leaves(restored.actor_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_imag_batch_subsampling(behavior_setup):
     """behavior.imag_batch subsamples the imagination starts; the step
     still runs and both networks move."""

@@ -41,11 +41,15 @@ def _ssim_numpy(p, t, win=7, max_val=1.0, k1=0.01, k2=0.03):
 
 
 def test_ssim_matches_numpy_reference():
+    """ssim() takes the zero-centered training range and must equal the
+    standard (non-negative-input) SSIM of the [0, 1]-shifted data — the
+    convention literature numbers use (ADVICE r3: the luminance term is
+    meaningless on data anchored at 0)."""
     rng = np.random.default_rng(0)
     p = rng.uniform(-0.5, 0.5, size=(3, 16, 16, 3)).astype(np.float32)
     t = np.clip(p + rng.normal(0, 0.1, p.shape), -0.5, 0.5).astype(np.float32)
     ours = float(m.ssim(jnp.asarray(p), jnp.asarray(t)))
-    ref = _ssim_numpy(p, t)
+    ref = _ssim_numpy(p + 0.5, t + 0.5)
     np.testing.assert_allclose(ours, ref, atol=1e-4)
 
 

@@ -67,6 +67,26 @@ def test_return_scale_ema_and_normalization():
                                np.asarray(small), atol=1e-7)
 
 
+def test_return_scale_warmup_debias():
+    """With ``step`` supplied, the statistic jumps to the first batch's
+    spread at step 0 instead of crawling from the 1.0 seed (ADVICE r3 —
+    DreamerV3 debiases its normalizer EMA for exactly this warmup)."""
+    rng = np.random.default_rng(2)
+    r = jnp.asarray(rng.uniform(0.0, 1000.0, size=(1000,)))
+    spread = float(jnp.percentile(r, 95.0) - jnp.percentile(r, 5.0))
+
+    s0 = rt.update_return_scale(jnp.ones(()), r, decay=0.99, step=0)
+    assert abs(float(s0) - spread) < 1e-3  # immediate, not ~1% of the way
+    # later steps: the standard EMA from the carried value
+    s1 = rt.update_return_scale(s0, r, decay=0.99, step=1)
+    np.testing.assert_allclose(
+        float(s1), 0.99 * float(s0) + 0.01 * spread, rtol=1e-6)
+    # step traced (as inside the jitted behavior step) works too
+    s0j = jax.jit(lambda st: rt.update_return_scale(
+        jnp.ones(()), r, decay=0.99, step=st))(jnp.zeros((), jnp.int32))
+    np.testing.assert_allclose(float(s0j), float(s0), rtol=1e-6)
+
+
 def test_twohot_value_model_fits_large_scale_targets():
     """The discrete-regression critic regresses targets spanning orders of
     magnitude (1 to 1e4) — the exact failure mode of the scale-1 Gaussian
