@@ -78,9 +78,18 @@ def train(cfg, cwd, results_dir, logger, key, mesh=None, progress=True):
         dev_val = DeviceReplay(D_val, mesh=mesh)
         train_step, eval_step = tr.make_device_resident_steps(
             model, cfg, optimizer, aug_spec, D.observation_names, mesh=mesh)
+        print(f"feed path: DEVICE-RESIDENT replay (train.device_replay="
+              f"{dr_mode}; dataset ~{DeviceReplay.nbytes(D) / 2**30:.2f} GiB "
+              f"fits the HBM budget) — steps consume index matrices only")
     else:
         train_step, eval_step = tr.make_train_step(model, cfg, optimizer,
                                                    aug_spec, mesh=mesh)
+        why = ("train.device_replay=false" if dr_mode == "false" else
+               f"dataset ~{DeviceReplay.nbytes(D) / 2**30:.2f} GiB exceeds "
+               f"the HBM budget")
+        print(f"feed path: HOST-STREAMED batches ({why}) — depth-2 "
+              f"prefetcher overlaps sample+transfer with compute; expect "
+              f"lower steps/s than device-resident (see BASELINE.md)")
 
     # init (or resume) train state
     key, init_key, prep_key = jax.random.split(key, 3)

@@ -34,6 +34,9 @@ def main():
     parser.add_argument("--batch-size", type=int, default=50)
     parser.add_argument("--chunk-size", type=int, default=50)
     parser.add_argument("--small", action="store_true")
+    parser.add_argument("--override", action="append", default=[],
+                        help="extra config overrides (repeatable), e.g. "
+                             "--override rssm.latent_dist=categorical")
     args = parser.parse_args()
 
     import jax
@@ -50,6 +53,7 @@ def main():
             "rssm.embedding_size.image=64", "rssm.embedding_size.sound=32",
             "rssm.embedding_size.fusion=64", "train.use_amp=False",
         ]
+    overrides += list(args.override)
     (cfg, model, optimizer, spec, draws, raw, prep, state,
      key) = build_step_setup(args.batch_size, args.chunk_size, overrides)
     bit_depth = int(cfg.env.bit_depth)
