@@ -38,6 +38,16 @@ def main():
     parser.add_argument("--override", action="append", default=[],
                         help="extra config overrides (repeatable), e.g. "
                              "--override rssm.remat=false")
+    parser.add_argument("--feed", default="auto",
+                        choices=["auto", "device", "host"],
+                        help="replay feed path: 'device' = HBM-resident "
+                             "buffer (index-only transfers), 'host' = "
+                             "host-streamed batches behind the training "
+                             "loop's depth-2 prefetcher (the fallback when "
+                             "the dataset exceeds the HBM budget — "
+                             "train.yaml's 500k experience_size lands "
+                             "here), 'auto' = DeviceReplay.fits (the "
+                             "training loop's default)")
     args = parser.parse_args()
 
     import jax
@@ -108,7 +118,11 @@ def main():
     # (data/device_buffer.py).
     from multimodal_rssm_tpu.data.device_buffer import DeviceReplay
 
-    use_device_replay = DeviceReplay.fits(D)
+    if args.feed == "auto":
+        use_device_replay = DeviceReplay.fits(D)
+    else:
+        use_device_replay = args.feed == "device"
+    prefetcher = None
     if use_device_replay:
         dev = DeviceReplay(D)
         train_step, _ = tr.make_device_resident_steps(
@@ -118,10 +132,16 @@ def main():
             return train_step(state, dev.arrays, dev.sample_indices(B, L),
                               draws_src.draw(), k)
     else:
+        # the training loop's exact fallback shape (train/loop.py): sample
+        # + host->device transfer on a worker thread, depth-2 prefetch
+        # overlapping the device step
+        from multimodal_rssm_tpu.train.prefetch import Prefetcher
+
         train_step, _ = tr.make_train_step(model, cfg, optimizer, spec)
+        prefetcher = Prefetcher(device_batch, depth=2)
 
         def run_step(state, k):
-            return train_step(state, device_batch(), draws_src.draw(), k)
+            return train_step(state, prefetcher.get(), draws_src.draw(), k)
 
     for i in range(args.warmup):
         key, k = jax.random.split(key)
@@ -139,6 +159,8 @@ def main():
     elapsed = time.perf_counter() - t0
     steps_per_sec = args.steps / elapsed
     sec_per_step = elapsed / args.steps
+    if prefetcher is not None:
+        prefetcher.close()
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "bench_baseline_torch.json")
@@ -188,6 +210,7 @@ def main():
         "mfu": round(mfu, 4) if mfu else None,
         "hbm_util": round(hbm_util, 4) if hbm_util else None,
         "device_kind": getattr(jax.devices()[0], "device_kind", "unknown"),
+        "feed": "device_resident" if use_device_replay else "host_streamed",
     }))
 
 
