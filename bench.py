@@ -39,15 +39,21 @@ def main():
                         help="extra config overrides (repeatable), e.g. "
                              "--override rssm.remat=false")
     parser.add_argument("--feed", default="auto",
-                        choices=["auto", "device", "host"],
+                        choices=["auto", "device", "streaming", "host"],
                         help="replay feed path: 'device' = HBM-resident "
-                             "buffer (index-only transfers), 'host' = "
+                             "buffer (index-only transfers), 'streaming' = "
+                             "device-resident working set with async "
+                             "segment refresh (the over-budget default "
+                             "since round 5 — train.yaml's 500k "
+                             "experience_size lands here), 'host' = "
                              "host-streamed batches behind the training "
-                             "loop's depth-2 prefetcher (the fallback when "
-                             "the dataset exceeds the HBM budget — "
-                             "train.yaml's 500k experience_size lands "
-                             "here), 'auto' = DeviceReplay.fits (the "
-                             "training loop's default)")
+                             "loop's depth-2 prefetcher (the legacy "
+                             "fallback), 'auto' = the training loop's "
+                             "decision (DeviceReplay.fits -> streaming -> "
+                             "host)")
+    parser.add_argument("--refresh-interval", type=int, default=1,
+                        help="streaming feed: steps between segment "
+                             "refreshes (train.stream_refresh_interval)")
     args = parser.parse_args()
 
     import jax
@@ -116,21 +122,31 @@ def main():
     # HBM-resident replay when the dataset fits: the steady-state
     # host->device traffic is a few KB of chunk indices per step
     # (data/device_buffer.py).
-    from multimodal_rssm_tpu.data.device_buffer import DeviceReplay
+    from multimodal_rssm_tpu.data.device_buffer import (
+        DeviceReplay, StreamingDeviceReplay)
 
     if args.feed == "auto":
-        use_device_replay = DeviceReplay.fits(D)
+        feed = "device" if DeviceReplay.fits(D) else "streaming"
     else:
-        use_device_replay = args.feed == "device"
+        feed = args.feed
+    use_device_replay = feed in ("device", "streaming")
     prefetcher = None
     if use_device_replay:
-        dev = DeviceReplay(D)
+        if feed == "streaming":
+            dev = StreamingDeviceReplay(D, chunk_size=L)
+        else:
+            dev = DeviceReplay(D)
         train_step, _ = tr.make_device_resident_steps(
             model, cfg, optimizer, spec, D.observation_names)
+        step_count = [0]
 
         def run_step(state, k):
-            return train_step(state, dev.arrays, dev.sample_indices(B, L),
-                              draws_src.draw(), k)
+            out = train_step(state, dev.arrays, dev.sample_indices(B, L),
+                             draws_src.draw(), k)
+            step_count[0] += 1
+            if feed == "streaming" and step_count[0] % args.refresh_interval == 0:
+                dev.refresh()
+            return out
     else:
         # the training loop's exact fallback shape (train/loop.py): sample
         # + host->device transfer on a worker thread, depth-2 prefetch
@@ -143,24 +159,28 @@ def main():
         def run_step(state, k):
             return train_step(state, prefetcher.get(), draws_src.draw(), k)
 
-    for i in range(args.warmup):
-        key, k = jax.random.split(key)
-        state, metrics = run_step(state, k)
-    # value fetch, not block_until_ready: through the remote-TPU tunnel the
-    # latter can return before execution completes (observed empirically);
-    # materialising the scalar is the reliable barrier.
-    float(jax.device_get(metrics["loss"]))
+    try:
+        for i in range(args.warmup):
+            key, k = jax.random.split(key)
+            state, metrics = run_step(state, k)
+        # value fetch, not block_until_ready: through the remote-TPU tunnel
+        # the latter can return before execution completes (observed
+        # empirically); materialising the scalar is the reliable barrier.
+        float(jax.device_get(metrics["loss"]))
 
-    t0 = time.perf_counter()
-    for i in range(args.steps):
-        key, k = jax.random.split(key)
-        state, metrics = run_step(state, k)
-    float(jax.device_get(metrics["loss"]))
-    elapsed = time.perf_counter() - t0
-    steps_per_sec = args.steps / elapsed
-    sec_per_step = elapsed / args.steps
-    if prefetcher is not None:
-        prefetcher.close()
+        t0 = time.perf_counter()
+        for i in range(args.steps):
+            key, k = jax.random.split(key)
+            state, metrics = run_step(state, k)
+        float(jax.device_get(metrics["loss"]))
+        elapsed = time.perf_counter() - t0
+        steps_per_sec = args.steps / elapsed
+        sec_per_step = elapsed / args.steps
+    finally:
+        # an exception mid-timing must not leave the worker thread sampling
+        # until interpreter exit (ADVICE r4)
+        if prefetcher is not None:
+            prefetcher.close()
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "bench_baseline_torch.json")
@@ -210,7 +230,8 @@ def main():
         "mfu": round(mfu, 4) if mfu else None,
         "hbm_util": round(hbm_util, 4) if hbm_util else None,
         "device_kind": getattr(jax.devices()[0], "device_kind", "unknown"),
-        "feed": "device_resident" if use_device_replay else "host_streamed",
+        "feed": {"device": "device_resident", "streaming": "streaming",
+                 "host": "host_streamed"}[feed],
     }))
 
 

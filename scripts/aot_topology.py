@@ -166,9 +166,13 @@ def main():
         with open(args.dump_hlo, "w") as f:
             f.write(hlo)
 
-    collectives = Counter(re.findall(
-        r"\b(all-reduce|all-gather|reduce-scatter|collective-permute|"
-        r"all-to-all)", hlo))
+    # anchor to instruction definitions — "<shape> op(" — so async
+    # start/done pairs count once and operand-name mentions not at all
+    # (ADVICE r4: bare re.findall inflated the recorded counts)
+    collectives = Counter(
+        m.group(1) for m in re.finditer(
+            r"[\]})]\s*(all-reduce|all-gather|reduce-scatter|"
+            r"collective-permute|all-to-all)(?:-start)?\(", hlo))
     # gradient sync over data is non-negotiable; model-axis sharding must
     # produce gather/scatter traffic
     assert collectives.get("all-reduce", 0) > 0, "no all-reduce in HLO"

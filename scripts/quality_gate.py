@@ -69,6 +69,24 @@ def build_dataset(root, seed):
     return ds
 
 
+def resolve_platform(explicit):
+    """The platform the gated run will actually execute on.
+
+    With no ``--platform`` the old code assumed TPU, so on a CPU-only host
+    it launched a full-scale CPU train (hours) and gated it against
+    TPU-calibrated windows (ADVICE r4).  Ask JAX in a subprocess instead
+    (a subprocess so the probe doesn't initialise a backend in this
+    process with different env than the gated child run).
+    """
+    if explicit:
+        return explicit
+    probe = subprocess.run(
+        [sys.executable, "-c", "import jax; print(jax.default_backend())"],
+        capture_output=True, text=True)
+    backend = probe.stdout.strip().splitlines()[-1] if probe.stdout.strip() else ""
+    return "tpu" if backend == "tpu" else "cpu"
+
+
 def train_and_eval(args):
     ds = build_dataset(args.workdir, args.seed)
     run_root = os.path.join(args.workdir, "qgate_run")
@@ -121,12 +139,19 @@ def collect_metrics(run_dir):
                 val_rows.append(rec["loss/validation"])
     import math
 
-    out["train_loss_first"] = train_loss[0][1]
-    out["train_loss_final"] = train_loss[-1][1]
-    out["val_loss_final"] = val_rows[-1]
-    out["val_rows_finite"] = float(all(math.isfinite(r) for r in val_rows))
+    # empty train/val rows (e.g. --iters below validation_interval, or a
+    # truncated metrics.jsonl) must surface as a gate failure ("metric
+    # missing"), not an IndexError traceback (ADVICE r4)
+    if train_loss:
+        out["train_loss_first"] = train_loss[0][1]
+        out["train_loss_final"] = train_loss[-1][1]
+    if val_rows:
+        out["val_loss_final"] = val_rows[-1]
+        out["val_rows_finite"] = float(all(math.isfinite(r) for r in val_rows))
 
     analysis = os.path.join(run_dir, "analysis", "imagination_mse.json")
+    if not os.path.exists(analysis):
+        return out
     with open(analysis) as f:
         imag = json.load(f)
     for mod, v in imag["mse"].items():
@@ -161,11 +186,13 @@ def main():
     args = ap.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
 
+    args.platform = resolve_platform(args.platform)
+    print(f"# gate platform: {args.platform}")
     run_dir = train_and_eval(args)
     metrics = collect_metrics(run_dir)
     print(json.dumps(metrics, indent=2))
 
-    key = args.platform or "tpu"
+    key = args.platform
     if args.calibrate:
         # +-40% band around the measured value for losses/MSE, fixed bands
         # for bounded metrics; hand-tighten before committing.
