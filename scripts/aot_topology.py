@@ -102,6 +102,51 @@ def build_abstract_inputs(cfg, mesh, n_model, tr, mesh_lib, model, optimizer):
     return state_sds, batch_tree, draws, sds(key, repl), spec
 
 
+_DTYPE_BYTES = {
+    "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "bf16": 2, "f16": 2,
+    "s32": 4, "u32": 4, "f32": 4, "u64": 8, "s64": 8, "f64": 8,
+}
+
+_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+
+
+def _shape_bytes(shape_str: str) -> int:
+    total = 0
+    for dt, dims in _SHAPE_RE.findall(shape_str):
+        if dt not in _DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dt]
+    return total
+
+
+_COLL_DEF_RE = re.compile(
+    r"=\s+(\([^)]*\)|\w+\[[^\]]*\](?:\{[^}]*\})?)\s+"
+    r"(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)"
+    r"(-start)?\(")
+
+
+def collective_bytes(hlo: str):
+    """Per-op-kind bytes moved, from the partitioned HLO's instruction
+    result shapes (async start tuples count their largest element, so a
+    start/done pair is counted once).  An estimate — good enough to rank
+    mesh layouts against ICI bandwidth, not a cycle model."""
+    out = {}
+    for m in _COLL_DEF_RE.finditer(hlo):
+        shape, op = m.group(1), m.group(2)
+        if shape.startswith("("):
+            nbytes = max(
+                (_shape_bytes(s) for s in shape[1:-1].split(", ")),
+                default=0)
+        else:
+            nbytes = _shape_bytes(shape)
+        out[op] = out.get(op, 0) + nbytes
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--topology", default="v5e:2x4",
@@ -183,12 +228,15 @@ def main():
             "model axis produced no gather/scatter collectives")
 
     ma = compiled.memory_analysis()
+    coll_bytes = collective_bytes(hlo)
     summary = {
         "topology": args.topology, "num_slices": args.slices,
         "devices": len(devices), "device_kind": devices[0].device_kind,
         "mesh": dict(mesh.shape), "batch_size": B,
         "scale": "reference" if args.full_scale else "tiny",
         "collectives": dict(collectives),
+        "collective_bytes": coll_bytes,
+        "collective_bytes_total": sum(coll_bytes.values()),
         "per_device_bytes": {
             "arguments": ma.argument_size_in_bytes,
             "outputs": ma.output_size_in_bytes,

@@ -52,6 +52,17 @@ TINY = [
     "train.use_amp=False",
 ]
 
+# Gate config matrix (VERDICT r4 #8): the scaling configs BASELINE.md
+# advertises (categorical latents, long chunks) must also keep *learning*,
+# not just keep their steps/s.  Each entry: (extra overrides, windows-key
+# suffix).  batch x chunk stay at the gate's smoke scale.
+CONFIGS = {
+    "default": ([], ""),
+    "categorical": (["rssm.latent_dist=categorical"], "_categorical"),
+    "chunk200": (["train.batch_size=2", "train.chunk_size=200"],
+                 "_chunk200"),
+}
+
 
 def run(cmd, env=None):
     print("+", " ".join(cmd), flush=True)
@@ -100,6 +111,7 @@ def train_and_eval(args):
         f"main.seed={args.seed}",
         "main.experiment_name=qgate",
     ]
+    overrides += CONFIGS[args.config][0]
     if args.platform == "cpu":
         overrides += TINY
     cmd = [sys.executable, os.path.join(REPO, "scripts", "train.py"),
@@ -165,7 +177,10 @@ def collect_metrics(run_dir):
 
 def check_windows(metrics, windows):
     failures = []
-    for name, (lo, hi) in windows.items():
+    for name, bounds in windows.items():
+        if name.startswith("_"):  # calibration metadata, not a window
+            continue
+        lo, hi = bounds
         v = metrics.get(name)
         if v is None:
             failures.append(f"{name}: metric missing from run artifacts")
@@ -183,16 +198,21 @@ def main():
     ap.add_argument("--workdir", default="/tmp/mrssm_qgate")
     ap.add_argument("--calibrate", action="store_true",
                     help="print a quality_windows.json block instead of gating")
+    ap.add_argument("--config", default="default", choices=sorted(CONFIGS),
+                    help="gate config matrix entry: 'categorical' = "
+                         "rssm.latent_dist=categorical (32x32), 'chunk200' "
+                         "= batch 2 x chunk 200 — the scaling configs "
+                         "BASELINE.md advertises must keep learning too")
     args = ap.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
 
     args.platform = resolve_platform(args.platform)
-    print(f"# gate platform: {args.platform}")
+    print(f"# gate platform: {args.platform}, config: {args.config}")
     run_dir = train_and_eval(args)
     metrics = collect_metrics(run_dir)
     print(json.dumps(metrics, indent=2))
 
-    key = args.platform
+    key = args.platform + CONFIGS[args.config][1]
     if args.calibrate:
         # +-40% band around the measured value for losses/MSE, fixed bands
         # for bounded metrics; hand-tighten before committing.

@@ -502,6 +502,7 @@ def test_det_imagination_uses_mode_onehots(cat_setup):
                                       np.asarray(expect[name]["loc"]))
 
 
+@pytest.mark.slow
 def test_dp_sharded_step_matches_single_device_categorical():
     """The categorical train step under a data-parallel mesh reproduces the
     single-device step (the ST one-hot sample is a per-element function of

@@ -134,6 +134,7 @@ def test_histogram_logging_nonfinite(tmp_path):
 # -- sharded execution (subprocess-isolated, bounded) ----------------------
 
 
+@pytest.mark.slow
 def test_dp_sharded_step_matches_single_device():
     """The jitted step on a batch sharded over the data axis produces the
     same params as on a replicated-layout batch (XLA's implicit gradient
@@ -142,12 +143,14 @@ def test_dp_sharded_step_matches_single_device():
     run_case("dp_sharded")
 
 
+@pytest.mark.slow
 def test_model_axis_sharding_matches_replicated():
     """Column-sharding the wide matmuls over a (2 data x 2 model) mesh
     reproduces the replicated step (XLA inserts the all-gathers)."""
     run_case("model_axis")
 
 
+@pytest.mark.slow
 def test_grad_accum_step_dp_sharded_matches_single():
     """``train.grad_accum`` under a data-sharded batch with model-axis
     kernels (DESIGN D15): the microbatch ``dynamic_slice`` runs on operands
@@ -156,12 +159,14 @@ def test_grad_accum_step_dp_sharded_matches_single():
     run_case("grad_accum")
 
 
+@pytest.mark.slow
 def test_hybrid_multislice_step_matches_single():
     """Multi-slice DP on a (slice x data) hybrid mesh reproduces the
     single-device step; on real TPU the slice axis maps to DCN."""
     run_case("hybrid_multislice")
 
 
+@pytest.mark.slow
 def test_device_replay_sharded_matches_host_path():
     """Multi-chip training keeps the HBM-resident feed (VERDICT r1 weak
     #2): a DeviceReplay on a mesh must reproduce the host-streamed sharded
@@ -169,11 +174,13 @@ def test_device_replay_sharded_matches_host_path():
     run_case("device_replay")
 
 
+@pytest.mark.slow
 def test_behavior_step_dp_sharded_matches_single():
     """The behavior (actor-critic-in-imagination) step is mesh-compatible."""
     run_case("behavior_dp")
 
 
+@pytest.mark.slow
 def test_cli_mesh_training_end_to_end():
     """Multi-chip training is reachable from config alone (train.mesh),
     model-axis sharding is non-vacuous and survives the jitted steps, and
@@ -181,6 +188,7 @@ def test_cli_mesh_training_end_to_end():
     run_case("cli_mesh_e2e")
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     """The driver-facing multi-chip dry run compiles and executes at the
     driver's own device count (8)."""

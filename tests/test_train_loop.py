@@ -72,6 +72,7 @@ def test_checkpoint_roundtrip(completed_run):
     )
 
 
+@pytest.mark.slow
 def test_resume_continues(run_cfg, completed_run, tmp_path_factory):
     """A second train() pointed at the same results dir resumes from the
     last checkpoint instead of starting over."""
@@ -89,6 +90,7 @@ def test_resume_continues(run_cfg, completed_run, tmp_path_factory):
     assert int(state.step) == 8
 
 
+@pytest.mark.slow
 def test_cli_resume(run_cfg, tiny_dataset_dir, tmp_path_factory, monkeypatch):
     """``scripts/train.py --resume`` reaches restore_or_none end-to-end:
     a fresh CLI run to step 4, then a CLI resume (reusing the run dir and
@@ -144,6 +146,7 @@ def test_cli_resume(run_cfg, tiny_dataset_dir, tmp_path_factory, monkeypatch):
     assert steps.count(1) == 1  # step 1 only from the first run
 
 
+@pytest.mark.slow
 def test_preempt_checkpoints_and_resumes(tiny_dataset_dir, tmp_path_factory,
                                          monkeypatch):
     """SIGTERM mid-run (TPU-VM preemption): the loop finishes the in-flight
@@ -386,6 +389,7 @@ def test_prune_checkpoints(tmp_path):
     assert ckpt.prune_checkpoints(d, 2) == []
 
 
+@pytest.mark.slow
 def test_loop_checkpoint_retention(run_cfg, tmp_path_factory):
     """train.keep_checkpoints=1 through the loop (async writer path):
     only the newest cadence checkpoint survives the run."""
@@ -402,6 +406,7 @@ def test_loop_checkpoint_retention(run_cfg, tmp_path_factory):
     assert ckpts == ["models_6.msgpack"]
 
 
+@pytest.mark.slow
 def test_loop_streaming_feed_trains(run_cfg, tmp_path_factory, capsys):
     """train.device_replay=stream: the device-resident working-set feed
     (data/device_buffer.py StreamingDeviceReplay) trains end to end with
