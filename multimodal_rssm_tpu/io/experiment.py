@@ -105,6 +105,9 @@ def setup_experiment(cfg: ConfigDict, cwd: str = ".", resume_dir: Optional[str] 
             project=cfg.env.env_config.env_name,
             config=cfg.to_dict(),
             tags=cfg.main.tags,
+            # keep wandb's run files (incl. WANDB_MODE=offline run dirs)
+            # inside the run archive instead of the process cwd
+            dir=results_dir,
         ),
     )
 
