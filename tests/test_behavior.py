@@ -161,6 +161,7 @@ def test_behavior_step_updates_and_is_finite(behavior_setup):
     assert not np.allclose(np.asarray(v0), np.asarray(v1))
 
 
+@pytest.mark.slow
 def test_value_learns_imagined_returns(behavior_setup):
     """The bootstrapped value fit must converge: fixed batch, fixed augment
     draw, fixed imagination key, near-frozen actor (lr 1e-8), and a strongly

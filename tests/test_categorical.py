@@ -230,6 +230,7 @@ def test_world_model_contract(cat_setup):
 
 
 @pytest.mark.parametrize("fusion_method", ["PoE", "MoPoE"])
+@pytest.mark.slow
 def test_loss_and_gradients(cat_setup, fusion_method):
     from multimodal_rssm_tpu.train import trainer as tr
 
@@ -258,6 +259,7 @@ def test_loss_and_gradients(cat_setup, fusion_method):
         assert norm > 0, f"zero gradient for {mod}"
 
 
+@pytest.mark.slow
 def test_overshooting_finite(cat_setup):
     from multimodal_rssm_tpu.models.world_model import WorldModel
     from multimodal_rssm_tpu.train import trainer as tr
@@ -280,6 +282,7 @@ def test_overshooting_finite(cat_setup):
     assert np.isfinite(gn) and gn > 0
 
 
+@pytest.mark.slow
 def test_train_step_loss_decreases(cat_setup):
     from multimodal_rssm_tpu.train import trainer as tr
 
@@ -402,6 +405,7 @@ def test_behavior_step_categorical(cat_setup):
     assert not np.allclose(np.asarray(a0), np.asarray(a1))
 
 
+@pytest.mark.slow
 def test_export_filter_step_categorical(cat_setup, tmp_path):
     """The serving artifact (jax.export) round-trips for the discrete
     latent: the flattened one-hot state travels through the same [h, s]
@@ -457,6 +461,7 @@ def test_export_filter_step_categorical(cat_setup, tmp_path):
     np.testing.assert_allclose(ps.sum(-1), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_det_imagination_uses_mode_onehots(cat_setup):
     """Det-mode imagination for categorical latents seeds and decodes with
     the MODE one-hot states (DreamerV2/V3 convention), never with the

@@ -72,6 +72,7 @@ def prepared(tiny_cfg, tiny_buffer):
     return cfg, model, state, batch
 
 
+@pytest.mark.slow
 def test_accumulated_grads_exact(prepared):
     """accum=2 deterministic grads == full-batch deterministic grads."""
     cfg, model, state, batch = prepared
@@ -94,6 +95,7 @@ def test_accumulated_grads_exact(prepared):
     _assert_grads_close(g_full, g_acc, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_accumulated_grads_exact_with_overshoot(tiny_cfg, tiny_buffer,
                                                 prepared):
     """Exactness holds with the vectorised overshooting term in the loss

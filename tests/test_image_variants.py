@@ -48,11 +48,13 @@ def _roundtrip(size, normalization):
 
 
 @pytest.mark.parametrize("size", [84, 128, 256])
+@pytest.mark.slow
 def test_image_codec_sizes(size):
     _roundtrip(size, None)
 
 
 @pytest.mark.parametrize("normalization",
                          ["BatchNorm", "InstanceNorm", "GroupNorm"])
+@pytest.mark.slow
 def test_image_codec_normalizations(normalization):
     _roundtrip(64, normalization)

@@ -68,6 +68,7 @@ def online_cfg_tiny(tiny_cfg):
     return cfg
 
 
+@pytest.mark.slow
 def test_run_online_micro(online_cfg_tiny, tmp_path):
     """Two seed episodes -> two online episodes with 1 update each: the
     buffer grows by every collected step, losses stay finite, both

@@ -116,6 +116,7 @@ def test_cem_planner_deterministic_given_key(planner_setup):
     assert not np.allclose(np.asarray(a1), np.asarray(a3))
 
 
+@pytest.mark.slow
 def test_run_online_planet_mode(tiny_cfg, tmp_path):
     """online.collect_policy=cem is the PlaNet loop: world-model updates +
     planned collection, no behavior training or checkpoint at all."""

@@ -78,6 +78,7 @@ def _grads(model, variables, remat_inputs):
 
 
 @pytest.mark.parametrize("remat", [True, "decoders", "conv", "decoders_conv"])
+@pytest.mark.slow
 def test_remat_policies_grad_equivalence(remat, baseline, remat_inputs):
     variables, ref_grads = baseline
     model = _model(remat)

@@ -338,6 +338,7 @@ def test_image_variant_import_export_parity(size, normalization, rng):
         rtol=1e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_crosscheck_torch_cli(tiny_dataset_dir, tmp_path):
     """The cross-framework validation CLI (cli/crosscheck_torch.py) at tiny
     scale: train 2 iters through the loop, then let the harness export the
@@ -408,6 +409,7 @@ def test_crosscheck_torch_cli_unimodal(tiny_dataset_dir, tmp_path):
                result["imagination_cross_framework_mse"].values())
 
 
+@pytest.mark.slow
 def test_export_torch_cli_roundtrip(tiny_dataset_dir, tmp_path, monkeypatch):
     """Full chain: train CLI path -> mrssm-export-torch -> .pth ->
     re-import == the native msgpack checkpoint, tensor for tensor."""

@@ -317,6 +317,7 @@ def test_resolve_xla_options(tiny_cfg):
                       ).train.xla_options == {"a": True}
 
 
+@pytest.mark.slow
 def test_xla_options_reach_the_compiled_step(tiny_cfg, tiny_dataset_dir):
     """An invalid compiler option must fail loudly at compile time (proves
     the knob reaches XLA); a benign generic option compiles and runs."""

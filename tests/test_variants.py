@@ -35,6 +35,7 @@ def _steps(cfg, tiny_buffer, n=2):
     return state, {k: float(v) for k, v in metrics.items()}
 
 
+@pytest.mark.slow
 def test_expert_dist_q_st_ot(tiny_cfg, tiny_buffer):
     """q(st|ot): experts come straight from the stochastic encoder
     (ref MRSSM_PoE expert_dist dispatch, MRSSM_PoE/algo.py:44-61)."""
@@ -48,6 +49,7 @@ def test_expert_dist_q_st_ot(tiny_cfg, tiny_buffer):
     assert "image_horizon_head" in state.params["encoder"]
 
 
+@pytest.mark.slow
 def test_overshooting_enabled(tiny_cfg, tiny_buffer):
     """overshooting_kl_beta != 0 wires the vectorised prior re-rollout into
     the loss (ref base/algo.py:190-193)."""
@@ -62,6 +64,7 @@ def test_overshooting_enabled(tiny_cfg, tiny_buffer):
     assert m_os["kl_loss_sum"] > m_base["kl_loss_sum"]
 
 
+@pytest.mark.slow
 def test_predict_reward_and_logprob_loss(tiny_cfg, tiny_buffer):
     cfg = copy.deepcopy(tiny_cfg)
     cfg.rssm.predict_reward = True
@@ -71,6 +74,7 @@ def test_predict_reward_and_logprob_loss(tiny_cfg, tiny_buffer):
     assert np.isfinite(metrics["loss"])
 
 
+@pytest.mark.slow
 def test_mopoe_overshooting_variant(tiny_cfg, tiny_buffer):
     cfg = copy.deepcopy(tiny_cfg)
     cfg.rssm.multimodal_params.fusion_method = "MoPoE"
@@ -102,6 +106,7 @@ def test_draw_target_discriminator(rng):
     assert np.isfinite(np.asarray(ce)).all()
 
 
+@pytest.mark.slow
 def test_scan_unroll_equivalent(tiny_cfg, tiny_buffer):
     """rssm.scan_unroll only changes how XLA schedules the time loop
     (lax.scan unroll=k replicates the cell body); same seeds must give the
