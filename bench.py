@@ -54,6 +54,12 @@ def main():
     parser.add_argument("--refresh-interval", type=int, default=1,
                         help="streaming feed: steps between segment "
                              "refreshes (train.stream_refresh_interval)")
+    parser.add_argument("--buffer-gb", type=float, default=None,
+                        help="fill the host ring to ~N GiB by tiling the "
+                             "synthetic episodes (content-irrelevant for "
+                             "throughput; exercises the feed path at "
+                             "reference buffer capacity — train.yaml's "
+                             "500k experience_size is ~11 GiB)")
     args = parser.parse_args()
 
     import jax
@@ -68,10 +74,16 @@ def main():
     from multimodal_rssm_tpu.models.world_model import WorldModel
     from multimodal_rssm_tpu.train import trainer as tr
 
+    experience_size = 20000
+    if args.buffer_gb:
+        # rough row estimate just for the ring allocation; the exact fill
+        # happens below by tiling loaded episodes
+        experience_size = max(experience_size,
+                              int(args.buffer_gb * 2**30 / 20000))
     overrides = [
         f"train.batch_size={args.batch_size}",
         f"train.chunk_size={args.chunk_size}",
-        "train.experience_size=20000",
+        f"train.experience_size={experience_size}",
     ]
     if args.small:
         # tiny model AND tiny batch/chunk (unless explicitly overridden):
@@ -99,6 +111,27 @@ def main():
 
     D = fill_synthetic_buffer(build_buffer(cfg), cfg, episodes=args.episodes,
                               ep_len=args.episode_length)
+    if args.buffer_gb:
+        import numpy as np
+
+        base = D.idx
+        row_bytes = (sum(D.observations[n][0].nbytes
+                         for n in D.observation_names)
+                     + D.actions[0].nbytes + D.rewards[0].nbytes
+                     + D.nonterminals[0].nbytes)
+        target = min(D.size, int(args.buffer_gb * 2**30 / row_bytes))
+        while D.idx < target:
+            n = min(base, target - D.idx)
+            idx = np.arange(D.idx, D.idx + n)
+            for name in D.observation_names:
+                D.observations[name][idx] = D.observations[name][:n]
+            D.actions[idx] = D.actions[:n]
+            D.rewards[idx] = D.rewards[:n]
+            D.nonterminals[idx] = D.nonterminals[:n]
+            D.idx += n
+            D.steps += n
+        print(f"# host ring filled to {D.idx} rows "
+              f"(~{D.idx * row_bytes / 2**30:.2f} GiB)", file=sys.stderr)
 
     model = WorldModel.from_config(cfg, dtype=tr.compute_dtype(cfg))
     optimizer = tr.build_optimizer(cfg)
@@ -137,7 +170,8 @@ def main():
         else:
             dev = DeviceReplay(D)
         train_step, _ = tr.make_device_resident_steps(
-            model, cfg, optimizer, spec, D.observation_names)
+            model, cfg, optimizer, spec, D.observation_names,
+            row_shapes=dev.row_shapes)
         step_count = [0]
 
         def run_step(state, k):

@@ -91,7 +91,7 @@ def main():
 
         def next_batch():
             return gather_batch(dev.arrays, dev.sample_indices(B, L),
-                                D.observation_names)
+                                D.observation_names, dev.row_shapes)
     else:
         def next_batch():
             return _device_batch(D.sample(B, L))

@@ -108,16 +108,33 @@ class DeviceReplay:
             self._idx_sharding = None
 
         def _put(x):
-            x = jnp.asarray(x)
+            # rows are stored FLAT [rows, prod(shape)]: with the natural
+            # [rows, H, W, C] uint8 layout the TPU tiling pads the minor
+            # dims (C=3 -> 2.0x expansion measured at 64px) AND XLA inserts
+            # a whole-buffer relayout copy inside the step program — a
+            # 6.5 GiB buffer padded to 7.08 G of HLO temp (round-5 OOM
+            # dump).  Flat rows keep the minormost dim large (no padding),
+            # the gather uses the argument layout (no buffer-sized copy),
+            # and the per-batch reshape back to [L, n, *shape] touches only
+            # the ~55 MB gathered batch (gather_batch).
+            x = jnp.asarray(x.reshape(x.shape[0], -1))
             if self._replicated is not None:
                 x = jax.device_put(x, self._replicated)
             return x
 
         self.arrays: Dict[str, jnp.ndarray] = {}
+        self.row_shapes: Dict[str, tuple] = {}
         for name in host_buffer.observation_names:
-            self.arrays[name] = _put(host_buffer.observations[name][:used])
+            rows = host_buffer.observations[name][:used]
+            self.row_shapes[name] = tuple(rows.shape[1:])
+            self.arrays[name] = _put(rows)
+        self.row_shapes["__actions__"] = tuple(host_buffer.actions.shape[1:])
+        self.row_shapes["__rewards__"] = ()
+        self.row_shapes["__nonterminals__"] = tuple(
+            host_buffer.nonterminals.shape[1:])
         self.arrays["__actions__"] = _put(host_buffer.actions[:used])
-        self.arrays["__rewards__"] = _put(host_buffer.rewards[:used])
+        self.arrays["__rewards__"] = _put(
+            host_buffer.rewards[:used].reshape(used, 1))
         self.arrays["__nonterminals__"] = _put(host_buffer.nonterminals[:used])
 
     @staticmethod
@@ -235,9 +252,16 @@ class StreamingDeviceReplay:
         self.resident = self.rng.choice(
             self.n_host_segments, size=self.W, replace=False)
         self.arrays = {}
+        self.row_shapes = {}
         for name, host_rows in self._host_views().items():
+            self.row_shapes[name] = (
+                () if name == "__rewards__"
+                else tuple(self.host.observations[name].shape[1:])
+                if name in self.host.observations
+                else tuple(host_rows.shape[1:]))
+            flat = host_rows.reshape(host_rows.shape[0], -1)
             init = np.concatenate(
-                [host_rows[seg * S:(seg + 1) * S] for seg in self.resident], axis=0)
+                [flat[seg * S:(seg + 1) * S] for seg in self.resident], axis=0)
             x = jnp.asarray(init)
             if self._replicated is not None:
                 x = jax.device_put(x, self._replicated)
@@ -248,7 +272,7 @@ class StreamingDeviceReplay:
         views = {name: b.observations[name][:used]
                  for name in b.observation_names}
         views["__actions__"] = b.actions[:used]
-        views["__rewards__"] = b.rewards[:used]
+        views["__rewards__"] = b.rewards[:used].reshape(used, 1)
         views["__nonterminals__"] = b.nonterminals[:used]
         return views
 
@@ -275,7 +299,7 @@ class StreamingDeviceReplay:
             slot = int(self.rng.integers(0, self.W))
             seg = int(self.rng.integers(0, self.n_host_segments))
             self.resident[slot] = seg
-            rows = {name: v[seg * self.S:(seg + 1) * self.S]
+            rows = {name: v[seg * self.S:(seg + 1) * self.S].reshape(self.S, -1)
                     for name, v in views.items()}
             total += sum(r.nbytes for r in rows.values())
             dev_rows = {k: jnp.asarray(v) for k, v in rows.items()}
@@ -288,20 +312,28 @@ class StreamingDeviceReplay:
 
 
 def gather_batch(
-    arrays: Dict[str, jnp.ndarray], idxs: jnp.ndarray, observation_names
+    arrays: Dict[str, jnp.ndarray], idxs: jnp.ndarray, observation_names,
+    row_shapes: Optional[Dict[str, tuple]] = None,
 ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Device-side time-major chunk gather: idxs [n, L] -> batch leaves
-    [L, n, ...].  Runs inside the jitted train step at HBM bandwidth."""
+    [L, n, ...].  Runs inside the jitted train step at HBM bandwidth.
+
+    ``row_shapes`` (static): the per-row shapes the FLAT stored rows
+    unflatten to (``DeviceReplay.row_shapes``).  None = arrays are already
+    full-shaped (plain pytree batches)."""
     flat = idxs.reshape(-1)  # [n*L]
     n, L = idxs.shape
 
-    def take(arr):
+    def take(key):
+        arr = arrays[key]
         g = jnp.take(arr, flat, axis=0)
-        g = g.reshape(n, L, *arr.shape[1:])
+        shape = (row_shapes[key] if row_shapes is not None
+                 else arr.shape[1:])
+        g = g.reshape(n, L, *shape)
         return jnp.swapaxes(g, 0, 1)
 
-    observations = {name: take(arrays[name]) for name in observation_names}
-    actions = take(arrays["__actions__"])
-    rewards = take(arrays["__rewards__"])
-    nonterminals = take(arrays["__nonterminals__"])
+    observations = {name: take(name) for name in observation_names}
+    actions = take("__actions__")
+    rewards = take("__rewards__")
+    nonterminals = take("__nonterminals__")
     return observations, actions, rewards, nonterminals

@@ -105,7 +105,8 @@ def train(cfg, cwd, results_dir, logger, key, mesh=None, progress=True):
         # validation sets are small — keep them fully resident either way
         dev_val = DeviceReplay(D_val, mesh=mesh)
         train_step, eval_step = tr.make_device_resident_steps(
-            model, cfg, optimizer, aug_spec, D.observation_names, mesh=mesh)
+            model, cfg, optimizer, aug_spec, D.observation_names, mesh=mesh,
+            row_shapes=dev.row_shapes)
     else:
         train_step, eval_step = tr.make_train_step(model, cfg, optimizer,
                                                    aug_spec, mesh=mesh)
@@ -270,7 +271,8 @@ def train(cfg, cwd, results_dir, logger, key, mesh=None, progress=True):
                     from multimodal_rssm_tpu.data.device_buffer import gather_batch
 
                     hbatch = gather_batch(dev.arrays, last_input,
-                                          D.observation_names)
+                                          D.observation_names,
+                                          dev.row_shapes)
                 else:
                     hbatch = last_input
                 grads = grad_only_fn(state, hbatch, step_draws, hist_key)

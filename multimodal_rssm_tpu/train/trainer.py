@@ -635,7 +635,7 @@ def make_grad_fn(model: WorldModel, cfg, aug_spec: AugSpec):
 
 def make_device_resident_steps(model: WorldModel, cfg, optimizer,
                                aug_spec: AugSpec, observation_names,
-                               mesh=None):
+                               mesh=None, row_shapes=None):
     """Train/eval steps over an HBM-resident replay (data/device_buffer.py):
     inputs are the device buffer arrays + [n, L] index matrices; the chunk
     gather happens on device, so the steady-state host->device traffic is a
@@ -653,7 +653,7 @@ def make_device_resident_steps(model: WorldModel, cfg, optimizer,
     @functools.partial(jax.jit, donate_argnums=(0,), compiler_options=xla_opts)
     def train_step(state: TrainState, buffer_arrays, idxs, aug_draws, key):
         observations, actions, rewards, nonterminals = gather_batch(
-            buffer_arrays, idxs, obs_names
+            buffer_arrays, idxs, obs_names, row_shapes
         )
         key_prep, key_loss = jax.random.split(key)
         observations = prepare_observations(
@@ -687,7 +687,7 @@ def make_device_resident_steps(model: WorldModel, cfg, optimizer,
     @jax.jit
     def eval_step(state: TrainState, buffer_arrays, idxs, aug_draws, key):
         observations, actions, rewards, nonterminals = gather_batch(
-            buffer_arrays, idxs, obs_names
+            buffer_arrays, idxs, obs_names, row_shapes
         )
         key_prep, key_loss = jax.random.split(key)
         observations = prepare_observations(

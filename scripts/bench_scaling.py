@@ -69,7 +69,8 @@ def measure(cfg, mesh, steps, warmup=3):
 
     dev = DeviceReplay(D, mesh=mesh)
     train_step, _ = tr.make_device_resident_steps(
-        model, cfg, optimizer, spec, D.observation_names, mesh=mesh)
+        model, cfg, optimizer, spec, D.observation_names, mesh=mesh,
+        row_shapes=dev.row_shapes)
 
     def run_step(state, k):
         return train_step(state, dev.arrays, dev.sample_indices(B, L),

@@ -75,7 +75,8 @@ def measure(overrides, steps, episodes=4, ep_len=120, xla_options=None):
 
     dev = DeviceReplay(D)
     train_step, _ = tr.make_device_resident_steps(model, cfg, optimizer, spec,
-                                                  D.observation_names)
+                                                  D.observation_names,
+                                                  row_shapes=dev.row_shapes)
 
     def run_step(state, k):
         return train_step(state, dev.arrays, dev.sample_indices(B, L),

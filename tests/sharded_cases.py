@@ -328,10 +328,10 @@ def case_device_replay():
     mesh = mesh_lib.create_mesh()
     optimizer = tr.build_optimizer(cfg)
     spec = tr.build_aug_spec(D)
-    dr_train_step, dr_eval_step = tr.make_device_resident_steps(
-        model, cfg, optimizer, spec, D.observation_names)
-
     dev = DeviceReplay(D, mesh=mesh)
+    dr_train_step, dr_eval_step = tr.make_device_resident_steps(
+        model, cfg, optimizer, spec, D.observation_names,
+        row_shapes=dev.row_shapes)
     leaf = next(iter(dev.arrays.values()))
     assert leaf.sharding.is_fully_replicated
 

@@ -36,6 +36,7 @@ def test_streaming_initial_residency_matches_host(tiny_buffer):
     assert dev.W == 3
     for name in tiny_buffer.observation_names:
         host = tiny_buffer.observations[name][: dev.used]
+        host = host.reshape(host.shape[0], -1)  # rows are stored FLAT
         got = np.asarray(dev.arrays[name])
         for slot, seg in enumerate(dev.resident):
             np.testing.assert_array_equal(
@@ -67,6 +68,7 @@ def test_streaming_refresh_replaces_segment_content(tiny_buffer):
     # post-refresh arrays must equal the host rows of the NEW residency map
     name = tiny_buffer.observation_names[0]
     host = tiny_buffer.observations[name][: dev.used]
+    host = host.reshape(host.shape[0], -1)
     for slot, seg in enumerate(dev.resident):
         np.testing.assert_array_equal(
             after[name][slot * S:(slot + 1) * S], host[seg * S:(seg + 1) * S])
@@ -80,9 +82,11 @@ def test_streaming_gather_batch_rows_exist_in_host(tiny_buffer):
         budget_bytes=_tiny_budget(tiny_buffer, 3, S), seed=3)
     idxs = dev.sample_indices(5, L)
     obs, act, rew, nt = gather_batch(dev.arrays, idxs,
-                                     tiny_buffer.observation_names)
+                                     tiny_buffer.observation_names,
+                                     dev.row_shapes)
     name = tiny_buffer.observation_names[0]
-    assert obs[name].shape[:2] == (L, 5)
+    assert obs[name].shape == (L, 5) + dev.row_shapes[name]
+    assert rew.shape == (L, 5)
     # map device indices back to host rows and compare exactly
     flat = np.asarray(idxs)
     host = tiny_buffer.observations[name][: dev.used]
