@@ -33,10 +33,15 @@ _HBM_BYTES_BY_KIND = [
     ("v3", 32 << 30),
 ]
 
-# Head-room the training step needs at reference scale: params + Adam state
-# (~0.5 GB f32) plus step temporaries (XLA memory analysis: ~0.5 GB at the
-# tiny AOT profile, a few GB at reference scale with remat off).
-_DEFAULT_RESERVE_BYTES = 6 << 30
+# Head-room the training step needs at reference scale (batch 50 x chunk
+# 50, rssm.remat=false): the round-5 OOM dump's compiler accounting —
+# 10.6 GB of HLO temps (dominated by sound-codec bf16 activations held for
+# the backward pass) + ~0.8 GB outputs + params/Adam.  A static reserve
+# cannot know the step's real temps (they scale with batch x chunk and
+# drop sharply under rssm.remat), so this errs safe; override with
+# MRSSM_REPLAY_BUDGET_GB (or train.replay_budget_gb) when the step is
+# known to be lighter (tiny models, remat=conv).
+_DEFAULT_RESERVE_BYTES = int(12.2 * (1 << 30))
 
 
 def hbm_budget_bytes(device=None, reserve_bytes: int = _DEFAULT_RESERVE_BYTES,
@@ -49,6 +54,11 @@ def hbm_budget_bytes(device=None, reserve_bytes: int = _DEFAULT_RESERVE_BYTES,
     weak #2: the hardcoded 4 GiB budget silently host-streamed the
     reference's configured 500k-step buffer (~11 GiB) on a 16 GB chip.
     """
+    import os
+
+    env = os.environ.get("MRSSM_REPLAY_BUDGET_GB")
+    if env:
+        return int(float(env) * (1 << 30))
     if device is None:
         device = jax.devices()[0]
     if getattr(device, "platform", "") not in ("tpu", "axon"):
@@ -71,7 +81,9 @@ def hbm_budget_bytes(device=None, reserve_bytes: int = _DEFAULT_RESERVE_BYTES,
                 break
     if total is None:
         return fallback
-    return max(fallback, total - reserve_bytes)
+    # floor of 2 GiB: below that a working set is too small to be useful,
+    # but the budget must never exceed what the step's temps leave free
+    return max(2 << 30, total - reserve_bytes)
 
 
 class DeviceReplay:

@@ -33,8 +33,10 @@ from multimodal_rssm_tpu.models.layers import (
     Dense,
     InstanceNorm,
     act_fn,
+    fold_tb,
     glu,
     tag_conv_out,
+    unfold_tb,
 )
 from multimodal_rssm_tpu.ops import gaussian
 
@@ -61,7 +63,8 @@ def _maybe_remat(cls, remat):
 
 def _fold(h: jnp.ndarray, s: jnp.ndarray) -> Tuple[jnp.ndarray, int, int]:
     T, B = h.shape[:2]
-    x = jnp.concatenate([h.reshape(T * B, -1), s.reshape(T * B, -1)], axis=-1)
+    x = jnp.concatenate([fold_tb(h).reshape(T * B, -1),
+                         fold_tb(s).reshape(T * B, -1)], axis=-1)
     return x, T, B
 
 
@@ -74,7 +77,8 @@ def _fold_sh(h: jnp.ndarray, s: jnp.ndarray) -> Tuple[jnp.ndarray, int, int]:
     effective input is cat([state, belief]) — opposite to every other head.
     """
     T, B = h.shape[:2]
-    x = jnp.concatenate([s.reshape(T * B, -1), h.reshape(T * B, -1)], axis=-1)
+    x = jnp.concatenate([fold_tb(s).reshape(T * B, -1),
+                         fold_tb(h).reshape(T * B, -1)], axis=-1)
     return x, T, B
 
 
@@ -118,7 +122,8 @@ class DenseDecoder(DecoderBase):
         x = act(Dense(self.embedding_size, dtype=self.dtype, name="fc1")(x))
         x = act(Dense(self.embedding_size, dtype=self.dtype, name="fc2")(x))
         x = Dense(self.observation_size, dtype=self.dtype, name="fc3")(x)
-        x = x.astype(jnp.float32).reshape(T, B, self.observation_size)
+        x = unfold_tb(x.astype(jnp.float32), T, B).reshape(
+            T, B, self.observation_size)
         return {"loc": x, "scale": 1.0}
 
 
@@ -160,7 +165,7 @@ class _ImageDecoderBase(DecoderBase):
                 x = _apply_norm(self.normalization, x, train, self.dtype, f"norm{i}")
                 x = nn.relu(x)
         x = x.astype(jnp.float32)
-        x = x.reshape(T, B, *x.shape[1:])
+        x = unfold_tb(x, T, B)
         return {"loc": x, "scale": 1.0}
 
 
@@ -243,7 +248,7 @@ class SoundDecoder(DecoderBase):
             x = glu(x, axis=-1)
         x = ConvTranspose(1, (3, 9), strides=(1, 1), padding=(1, 4),
                           use_bias=False, dtype=self.dtype, name="deconv4")(x)
-        x = x.astype(jnp.float32)[..., 0].reshape(T, B, 128, 20)
+        x = unfold_tb(x.astype(jnp.float32)[..., 0], T, B).reshape(T, B, 128, 20)
         return {"loc": x, "scale": 1.0}
 
 
@@ -327,7 +332,7 @@ class SoundDecoderV2(DecoderBase):
             x = glu(x, axis=-1)
         x = PackedSingleChannelConv((7, 7), use_bias=False, dtype=self.dtype,
                                     name="out")(x)
-        x = x.astype(jnp.float32).reshape(T, B, 128, 20)
+        x = unfold_tb(x.astype(jnp.float32), T, B).reshape(T, B, 128, 20)
         return {"loc": x, "scale": 1.0}
 
 
@@ -353,7 +358,7 @@ class Discriminator(DecoderBase):
         x = act(Dense(self.hidden_size, dtype=self.dtype, name="fc1")(x))
         x = act(Dense(self.hidden_size, dtype=self.dtype, name="fc2")(x))
         x = Dense(self.output_size, dtype=self.dtype, name="fc3")(x)
-        x = x.astype(jnp.float32).reshape(T, B, self.output_size)
+        x = unfold_tb(x.astype(jnp.float32), T, B).reshape(T, B, self.output_size)
         return {"loc": x, "scale": 1.0}
 
     def _ce(self, h, s, o, train: bool):

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from multimodal_rssm_tpu.models.layers import Dense, act_fn
+from multimodal_rssm_tpu.models.layers import Dense, act_fn, fold_tb, unfold_tb
 
 Dtype = Any
 
@@ -127,10 +127,11 @@ class RewardModel(nn.Module):
         act = act_fn(self.activation_function)
         T, B = h.shape[:2]
         x = jnp.concatenate(
-            [h.reshape(T * B, -1), s.reshape(T * B, -1)], axis=-1
+            [fold_tb(h).reshape(T * B, -1), fold_tb(s).reshape(T * B, -1)],
+            axis=-1,
         ).astype(self.dtype)
         x = act(Dense(self.hidden_size, dtype=self.dtype, name="fc1")(x))
         x = act(Dense(self.hidden_size, dtype=self.dtype, name="fc2")(x))
         r = Dense(1, dtype=self.dtype, name="fc3")(x).astype(jnp.float32)
-        r = r.reshape(T, B)
+        r = unfold_tb(r, T, B).reshape(T, B)
         return {"loc": r, "scale": jnp.ones_like(r)}

@@ -45,6 +45,28 @@ def act_fn(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
         raise ValueError(f"unknown activation {name!r}") from e
 
 
+def fold_tb(x: jnp.ndarray) -> jnp.ndarray:
+    """[T, B, ...] -> [B*T, ...] — the bottle fold, BATCH-MAJOR.
+
+    Batch-major matters for data parallelism: the batch dim is sharded
+    over the mesh ``data`` axis, and a merged axis is only shardable when
+    the sharded dim is MAJOR (contiguous shards).  The old time-major
+    ``reshape(T*B, ...)`` fold made XLA all-gather the full batch onto
+    every device at each encoder/decoder boundary (round-5 full-scale AOT
+    HLO: 40 batch-dim all-gathers, 14 GB/device temps — DP gains erased).
+    On one device the swap is a layout detail XLA folds into the adjacent
+    copy/conv.  Per-frame math is order-invariant, so numerics are
+    unchanged (up to reduction order in downstream batch sums).
+    """
+    T, B = x.shape[:2]
+    return jnp.swapaxes(x, 0, 1).reshape(B * T, *x.shape[2:])
+
+
+def unfold_tb(y: jnp.ndarray, T: int, B: int) -> jnp.ndarray:
+    """Inverse of :func:`fold_tb`: [B*T, ...] -> [T, B, ...]."""
+    return jnp.swapaxes(y.reshape(B, T, *y.shape[1:]), 0, 1)
+
+
 def glu(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """Gated linear unit: split ``axis`` in half, a * sigmoid(b).
 

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from multimodal_rssm_tpu.models.encoders import build_encoder
-from multimodal_rssm_tpu.models.layers import Dense, act_fn
+from multimodal_rssm_tpu.models.layers import Dense, act_fn, fold_tb, unfold_tb
 from multimodal_rssm_tpu.ops import gaussian
 
 Dtype = Any
@@ -43,12 +43,13 @@ class ValueModel(nn.Module):
         act = act_fn(self.activation_function)
         T, B = h.shape[:2]
         x = jnp.concatenate(
-            [h.reshape(T * B, -1), s.reshape(T * B, -1)], axis=-1
+            [fold_tb(h).reshape(T * B, -1), fold_tb(s).reshape(T * B, -1)],
+            axis=-1,
         ).astype(self.dtype)
         for i in (1, 2, 3):
             x = act(Dense(self.hidden_size, dtype=self.dtype, name=f"fc{i}")(x))
         loc = Dense(1, dtype=self.dtype, name="fc4")(x).astype(jnp.float32)
-        loc = loc.reshape(T, B)
+        loc = unfold_tb(loc, T, B).reshape(T, B)
         return {"loc": loc, "scale": jnp.ones_like(loc)}
 
     def get_log_prob(self, h, s, r):
@@ -81,12 +82,14 @@ class TwoHotValueModel(nn.Module):
         act = act_fn(self.activation_function)
         T, B = h.shape[:2]
         x = jnp.concatenate(
-            [h.reshape(T * B, -1), s.reshape(T * B, -1)], axis=-1
+            [fold_tb(h).reshape(T * B, -1), fold_tb(s).reshape(T * B, -1)],
+            axis=-1,
         ).astype(self.dtype)
         for i in (1, 2, 3):
             x = act(Dense(self.hidden_size, dtype=self.dtype, name=f"fc{i}")(x))
         logits = Dense(self.num_bins, dtype=self.dtype, name="fc4")(x)
-        logits = logits.astype(jnp.float32).reshape(T, B, self.num_bins)
+        logits = unfold_tb(logits.astype(jnp.float32), T, B).reshape(
+            T, B, self.num_bins)
         bins = rt.bin_centers(self.num_bins)
         value = rt.symexp(rt.twohot_decode(jax.nn.softmax(logits, -1), bins))
         return {"loc": value, "logits": logits,

@@ -38,9 +38,11 @@ def bottle(fn, tree, T: int, B: int):
     The TPU-native replacement for the reference's ``bottle_tupele*``
     (utils/models/encoder.py:13-48): one big (T·B) batch keeps the MXU fed.
     """
-    folded = jax.tree_util.tree_map(lambda x: x.reshape(T * B, *x.shape[2:]), tree)
+    from multimodal_rssm_tpu.models.layers import fold_tb, unfold_tb
+
+    folded = jax.tree_util.tree_map(fold_tb, tree)
     out = fn(folded)
-    return jax.tree_util.tree_map(lambda y: y.reshape(T, B, *y.shape[1:]), out)
+    return jax.tree_util.tree_map(lambda y: unfold_tb(y, T, B), out)
 
 
 class WorldModel(nn.Module):

@@ -70,8 +70,11 @@ def train(cfg, cwd, results_dir, logger, key, mesh=None, progress=True):
         DeviceReplay, StreamingDeviceReplay, hbm_budget_bytes)
 
     dr_mode = str(cfg.train.get("device_replay", "auto")).lower()
+    rb = cfg.train.get("replay_budget_gb")
+    budget = int(float(rb) * (1 << 30)) if rb else hbm_budget_bytes()
     dev = None
-    if dr_mode == "true" or (dr_mode == "auto" and DeviceReplay.fits(D)):
+    if dr_mode == "true" or (dr_mode == "auto"
+                             and DeviceReplay.fits(D, budget)):
         dev = DeviceReplay(D, mesh=mesh)
         print(f"feed path: DEVICE-RESIDENT replay (train.device_replay="
               f"{dr_mode}; dataset ~{DeviceReplay.nbytes(D) / 2**30:.2f} GiB "
@@ -83,7 +86,7 @@ def train(cfg, cwd, results_dir, logger, key, mesh=None, progress=True):
         # configured 500k-step buffer always landed there)
         try:
             dev = StreamingDeviceReplay(
-                D, chunk_size=L,
+                D, chunk_size=L, budget_bytes=budget,
                 segment_len=int(cfg.train.get("stream_segment_len", 0) or 0)
                 or None,
                 refresh_segments=int(
@@ -91,7 +94,7 @@ def train(cfg, cwd, results_dir, logger, key, mesh=None, progress=True):
                 mesh=mesh, seed=seed)
             print(f"feed path: STREAMING device-resident working set "
                   f"(dataset ~{DeviceReplay.nbytes(D) / 2**30:.2f} GiB > "
-                  f"budget ~{hbm_budget_bytes() / 2**30:.2f} GiB; resident "
+                  f"budget ~{budget / 2**30:.2f} GiB; resident "
                   f"{dev.W} segments x {dev.S} rows "
                   f"~{dev.W * dev.S * DeviceReplay.nbytes(D) / max(dev.used, 1) / 2**30:.2f} GiB, "
                   f"refresh {dev.refresh_segments} seg / "
