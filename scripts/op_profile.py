@@ -71,22 +71,38 @@ def main():
 
     tot = collections.Counter()
     cnt = collections.Counter()
+    cat = collections.Counter()
+    long_names = {}
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        a = e.get("args", {}) or {}
+        # leaf HLO events carry hlo_category; container/step events don't —
+        # skipping them avoids double counting (jit_train_step wraps all)
+        if "hlo_category" not in a:
             continue
         dur = e.get("dur", 0)  # us
         name = e.get("name", "?")
         tot[name] += dur
         cnt[name] += 1
+        cat[a["hlo_category"]] += dur
+        if name not in long_names:
+            ln = a.get("long_name", "")
+            long_names[name] = ln.split(" fusion(")[0][:120] if ln else ""
         total += dur
 
     print(f"trace: {path}")
-    print(f"total device time: {total/1e3:.1f} ms over {args.steps} steps "
+    print(f"total HLO self time: {total/1e3:.1f} ms over {args.steps} steps "
           f"-> {total/1e3/args.steps:.1f} ms/step")
-    print(f"{'self_ms/step':>12s} {'%':>6s} {'count':>6s}  op")
+    print("\nphase attribution (hlo_category):")
+    print(f"{'ms/step':>10s} {'%':>6s}  category")
+    for name, us in cat.most_common():
+        print(f"{us/1e3/args.steps:10.3f} {100*us/total:6.2f}  {name}")
+    print(f"\n{'self_ms/step':>12s} {'%':>6s} {'count':>6s}  op")
     for name, us in tot.most_common(args.top):
-        print(f"{us/1e3/args.steps:12.3f} {100*us/total:6.2f} {cnt[name]:6d}  {name[:110]}")
+        print(f"{us/1e3/args.steps:12.3f} {100*us/total:6.2f} {cnt[name]:6d}  "
+              f"{name}  {long_names.get(name, '')[:100]}")
 
 
 if __name__ == "__main__":
