@@ -116,7 +116,11 @@ def train_and_eval(args):
         overrides += TINY
     cmd = [sys.executable, os.path.join(REPO, "scripts", "train.py"),
            *overrides, "--cwd", run_root]
-    if args.platform:
+    # only CPU is forced explicitly: the TPU plugin may register under a
+    # platform alias (this container's tunneled backend is "axon"), so
+    # "tpu" is what auto-selection already picks — forcing the literal
+    # name breaks init
+    if args.platform == "cpu":
         cmd += ["--platform", args.platform]
     run(cmd)
 
@@ -130,10 +134,7 @@ def train_and_eval(args):
     cmd = [sys.executable, os.path.join(REPO, "scripts", "check_model.py"),
            "--run", run_dir, "--itr", str(args.iters),
            "--t-start", "10", "--horizon", "10", "--cwd", args.workdir]
-    if args.platform:
-        env = {"JAX_PLATFORMS": args.platform}
-    else:
-        env = None
+    env = {"JAX_PLATFORMS": "cpu"} if args.platform == "cpu" else None
     run(cmd, env=env)
     return run_dir
 
