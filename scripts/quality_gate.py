@@ -56,11 +56,14 @@ TINY = [
 # advertises (categorical latents, long chunks) must also keep *learning*,
 # not just keep their steps/s.  Each entry: (extra overrides, windows-key
 # suffix).  batch x chunk stay at the gate's smoke scale.
+# entry: (extra overrides, windows-key suffix, episode length).  The
+# chunk-200 row needs episodes longer than the chunk (the default gate
+# dataset's 80-step validation episode cannot seed a 200-step chunk).
 CONFIGS = {
-    "default": ([], ""),
-    "categorical": (["rssm.latent_dist=categorical"], "_categorical"),
+    "default": ([], "", 80),
+    "categorical": (["rssm.latent_dist=categorical"], "_categorical", 80),
     "chunk200": (["train.batch_size=2", "train.chunk_size=200"],
-                 "_chunk200"),
+                 "_chunk200", 300),
 }
 
 
@@ -72,11 +75,13 @@ def run(cmd, env=None):
     subprocess.run(cmd, check=True, env=e, cwd=REPO)
 
 
-def build_dataset(root, seed):
-    ds = os.path.join(root, f"qgate_ds_seed{seed}")
+def build_dataset(root, seed, length=80):
+    suffix = "" if length == 80 else f"_len{length}"
+    ds = os.path.join(root, f"qgate_ds_seed{seed}{suffix}")
     if not os.path.isdir(os.path.join(ds, "train")):
         run([sys.executable, os.path.join(REPO, "scripts", "make_synthetic_dataset.py"),
-             "--out", ds, "--episodes", "4", "--length", "80", "--seed", str(seed)])
+             "--out", ds, "--episodes", "4", "--length", str(length),
+             "--seed", str(seed)])
     return ds
 
 
@@ -99,7 +104,7 @@ def resolve_platform(explicit):
 
 
 def train_and_eval(args):
-    ds = build_dataset(args.workdir, args.seed)
+    ds = build_dataset(args.workdir, args.seed, CONFIGS[args.config][2])
     run_root = os.path.join(args.workdir, "qgate_run")
     overrides = [
         f"train.train_data_path=[{ds}/train]",
