@@ -45,7 +45,7 @@ from multimodal_rssm_tpu.envs.peg import (  # noqa: E402,F401  (re-exported
 )
 
 
-def collect_episode(length, seed, substeps=10, render_size=64):
+def collect_episode(length, seed, substeps=10, render_size=64, env=None):
     """One scripted-policy episode in the COBOTTA episode schema.
 
     Row convention matches the reference datasets: row t = (o_t, a_t, r_t)
@@ -53,16 +53,25 @@ def collect_episode(length, seed, substeps=10, render_size=64):
     differences (pose_processing.py; multimodal_rssm_tpu/data/pose.py:
     116-121), which is the (actions[:-1], obs[1:]) pairing the trainer
     scans.  The terminal observation is dropped.
+
+    ``env``: a pre-built environment (e.g. an envs/zoo.py adapter) to
+    collect from instead of the default peg env; envs without a
+    ``scripted_action`` demonstration policy get uniform random actions.
     """
-    env = PegInsertionEnv(length=length, substeps=substeps,
-                          render_size=render_size, seed=seed)
+    if env is None:
+        env = PegInsertionEnv(length=length, substeps=substeps,
+                              render_size=render_size, seed=seed)
     rng = np.random.default_rng(seed)
 
     obs = env.reset(seed=seed)
     obs_lists = {name: [] for name in env.observation_names}
     acts, rewards, dones = [], [], []
     for _ in range(length):
-        action = env.scripted_action(rng)
+        if hasattr(env, "scripted_action"):
+            action = env.scripted_action(rng)
+        else:
+            action = rng.uniform(-1.0, 1.0, env.action_size).astype(
+                np.float32)
         for name in env.observation_names:
             obs_lists[name].append(obs[name])
         obs, reward, done = env.step(action)
@@ -83,6 +92,12 @@ def main():
     parser.add_argument("--episodes", type=int, default=8)
     parser.add_argument("--length", type=int, default=100)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--env", default="peg",
+        help="environment to collect from: 'peg' (scripted demonstration "
+             "policy) | 'synthetic' | suite spec ('gym:<id>', "
+             "'dmc:<domain>:<task>', 'robosuite:<Task>' — envs/zoo.py; "
+             "random policy unless the env defines scripted_action)")
     args = parser.parse_args()
 
     for split, n, seed0 in (("train", args.episodes, args.seed),
@@ -91,7 +106,13 @@ def main():
         out = os.path.join(args.out, split)
         os.makedirs(out, exist_ok=True)
         for i in range(n):
-            ep = collect_episode(args.length, seed0 + i)
+            env = None
+            if args.env != "peg":
+                from multimodal_rssm_tpu.envs import make_env
+
+                env = make_env(args.env, length=args.length,
+                               seed=seed0 + i)
+            ep = collect_episode(args.length, seed0 + i, env=env)
             np.save(os.path.join(out, f"episode_{i:04d}.npy"), ep,
                     allow_pickle=True)
         print(f"wrote {n} episodes to {out}")

@@ -21,8 +21,10 @@ def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("overrides", nargs="*", help="dotted config overrides")
     parser.add_argument("--run-dir", required=True)
-    parser.add_argument("--env", default="synthetic",
-                        choices=["synthetic", "peg"])
+    parser.add_argument(
+        "--env", default="synthetic",
+        help="'synthetic' | 'peg' | suite spec ('gym:<id>', "
+             "'dmc:<domain>:<task>', 'robosuite:<Task>' — envs/zoo.py)")
     parser.add_argument("--env-length", type=int, default=100)
     parser.add_argument("--episodes", type=int, default=5)
     parser.add_argument("--stochastic", action="store_true",

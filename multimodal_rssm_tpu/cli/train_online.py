@@ -30,8 +30,11 @@ def main():
     parser.add_argument("--config-dir", default=None,
                         help="config tree (default: the packaged configs/, or $MRSSM_CONFIG_DIR)")
     parser.add_argument("--config-name", default="config")
-    parser.add_argument("--env", default="synthetic",
-                        choices=["synthetic", "peg"])
+    parser.add_argument(
+        "--env", default="synthetic",
+        help="'synthetic' | 'peg' | external-suite spec "
+             "('gym:Pendulum-v1', 'dmc:cartpole:swingup', "
+             "'robosuite:Lift') — see envs/zoo.py")
     parser.add_argument("--env-length", type=int, default=100,
                         help="episode length of the environment")
     parser.add_argument("--cwd", default=".")
@@ -59,6 +62,12 @@ def main():
     online_cfg(cfg)
 
     env = make_env(args.env, length=args.env_length)
+    if int(cfg.env.action_size) != int(env.action_size):
+        # zoo adapters carry the suite's action dimensionality; the model
+        # and buffer must be built to match it
+        print(f"online training: env.action_size {cfg.env.action_size} -> "
+              f"{env.action_size} (from --env {args.env})")
+        cfg.env.action_size = int(env.action_size)
     cwd, results_dir, logger, key = setup_experiment(cfg, args.cwd)
     try:
         run_online(cfg, env, results_dir, logger, key)

@@ -11,6 +11,11 @@ steppable-environment surface the online training loop
   (scripts/collect_sim_data.py), exposed as reset/step.
 - ``SyntheticEnv`` — a dependency-free COBOTTA-schema toy task for tests
   and smoke runs.
+- External-suite adapters (envs/zoo.py) — any gym/gymnasium, dm_control
+  or robosuite task behind the same protocol, matching the reference sim
+  image's env zoo (its Dockerfile installs those suites but ships no env
+  code).  Specs: ``gym:<id>``, ``dmc:<domain>:<task>``,
+  ``robosuite:<Task>``.
 
 Env protocol (duck-typed):
   ``reset(seed) -> obs``  — dict of single-frame observations (images
@@ -23,14 +28,24 @@ from multimodal_rssm_tpu.envs.synthetic import SyntheticEnv
 
 
 def make_env(name: str, **kwargs):
-    """Dispatch by name ('synthetic' | 'peg'); MuJoCo imports lazily."""
+    """Dispatch by name ('synthetic' | 'peg') or external-suite spec
+    ('gym:<id>' | 'dmc:<domain>:<task>' | 'robosuite:<Task>'); MuJoCo and
+    the external suites import lazily."""
     if name == "synthetic":
         return SyntheticEnv(**kwargs)
     if name == "peg":
         from multimodal_rssm_tpu.envs.peg import PegInsertionEnv
 
         return PegInsertionEnv(**kwargs)
-    raise ValueError(f"unknown env '{name}' (expected 'synthetic' or 'peg')")
+    if ":" in name:
+        from multimodal_rssm_tpu.envs.zoo import make_zoo_env
+
+        return make_zoo_env(name, **kwargs)
+    raise ValueError(
+        f"unknown env '{name}' (expected 'synthetic', 'peg', or a suite "
+        "spec like 'gym:Pendulum-v1', 'dmc:cartpole:swingup', "
+        "'robosuite:Lift')"
+    )
 
 
 __all__ = ["SyntheticEnv", "make_env"]
